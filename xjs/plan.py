@@ -1,0 +1,329 @@
+"""Static backend: SchemaNode × StructType -> CheckPlan of Column predicates.
+
+The 100 TB path.  The schema is reconciled against the DataFrame's
+StructType on the driver (the analog of the reference's compile step,
+validator.py:20-23): all type dispatch and property-key resolution
+happens at compile time, and every keyword becomes a Catalyst
+``Column`` predicate — whole-stage-codegen'd, pushdown-eligible, zero
+Python in the row loop.
+
+Null semantics (SURVEY.md §7.4 #6): a NULL column value models a JSON
+document with the key *absent*, so per-property checks are vacuous on
+NULL (predicate evaluates to NULL => not a violation), while
+``required`` compiles to ``isNotNull``.  This matches the reference's
+``properties`` behavior (absent keys pass, keywords.py:483) and its
+``required`` (keywords.py:660-666).
+
+Regex notes: the reference's ``pattern`` uses ``re.match`` —
+prefix-anchored, end-unanchored (keywords.py:829-832) — so we compile
+to ``rlike('^(?:...)')`` (rlike is search-semantics).  Patterns with
+Python-only syntax fall back to a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xjs import formats
+from xjs.errors import PlanError
+from xjs.frontend import SchemaNode, compile_frontend
+
+# ---------------------------------------------------------------------------
+
+#: JSON type name -> acceptable Spark types (static reconciliation)
+_SPARK_OK = {
+    "string": (T.StringType, T.VarcharType, T.CharType, T.BinaryType),
+    "integer": (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    "number": (T.DoubleType, T.FloatType, T.DecimalType),
+    "boolean": (T.BooleanType,),
+    "array": (T.ArrayType,),
+    "object": (T.StructType, T.MapType),
+    # timestamps/dates are an engine extension, accepted under "string"
+    # bounds-style checks only via engine checks, never draft-04 type.
+}
+
+# Python-regex-only constructs that Java regex cannot run: fall back to
+# a pandas UDF for exact parity.
+_PY_ONLY_RE = re.compile(r"\(\?P[=<]|\(\?\(|\\Z")
+
+
+@dataclass
+class RowCheck:
+    """One compiled keyword check over one column.
+
+    ``pred`` is the PASS condition; NULL pred = vacuous (key absent).
+    A violation is ``pred <=> False``.
+    """
+
+    name: str                 # "url.format:uri"
+    column: str
+    path: str                 # data path, dotted
+    keyword: str
+    value_json: str           # schema value, for the violation payload
+    reason: str
+    pred: Column
+    uses_python: bool = False  # True when a pandas-UDF fallback is used
+
+
+@dataclass
+class CheckPlan:
+    checks: List[RowCheck]
+    id_col: str
+    partition_col: Optional[str]
+
+    def pass_all(self) -> Column:
+        p = F.lit(True)
+        for c in self.checks:
+            p = p & ~c.pred.eqNullSafe(F.lit(False))
+        return p
+
+
+def compile_static(
+    schema: Union[dict, SchemaNode],
+    spark_schema: T.StructType,
+    *,
+    id_col: str = "url",
+    partition_col: Optional[str] = "partition_id",
+) -> CheckPlan:
+    """Compile a top-level object schema against a flat table schema.
+
+    Top-level ``properties`` map to columns; ``required`` maps to
+    non-null checks.  Nested keywords compile recursively on the
+    column expression (arrays via ``forall``/``size``, etc.).
+    """
+    node = schema if isinstance(schema, SchemaNode) else compile_frontend(schema)
+    fields = {f.name: f.dataType for f in spark_schema.fields}
+    checks: List[RowCheck] = []
+
+    if node.required:
+        for key in node.required:
+            if key not in fields:
+                # column missing entirely: compile-time verdict — every row violates
+                pred = F.lit(False)
+            else:
+                pred = F.col(key).isNotNull()
+            checks.append(
+                RowCheck(
+                    name=f"{key}.required",
+                    column=key,
+                    path=key,
+                    keyword="required",
+                    value_json=json.dumps(node.required),
+                    reason=f"required column `{key}` is null/absent",
+                    pred=pred,
+                )
+            )
+
+    for key, child in (node.properties or {}).items():
+        if key not in fields:
+            continue  # absent column = key never present = all checks vacuous
+        checks.extend(_compile_property(child, key, F.col(key), fields[key]))
+
+    return CheckPlan(checks=checks, id_col=id_col, partition_col=partition_col)
+
+
+def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType, prefix: str = "") -> List[RowCheck]:
+    path = prefix or colname
+    out: List[RowCheck] = []
+
+    def add(keyword: str, value, pred: Column, reason: str, uses_python: bool = False):
+        out.append(
+            RowCheck(
+                name=f"{path}.{keyword}",
+                column=colname,
+                path=path,
+                keyword=keyword,
+                value_json=json.dumps(value, default=str),
+                reason=reason,
+                pred=pred,
+                uses_python=uses_python,
+            )
+        )
+
+    # ---- type: resolved entirely at compile time --------------------------
+    if node.type_names:
+        ok = any(isinstance(dt, _SPARK_OK.get(t, ())) for t in node.type_names)
+        if "null" in node.type_names:
+            ok = ok or True  # null is representable in every Spark column
+        if ok:
+            pass  # statically satisfied: Catalyst constant-folds nothing here
+        else:
+            # declared-vs-actual mismatch: every present value violates
+            add(
+                "type",
+                node.keywords["type"],
+                e.isNull(),
+                f"column `{colname}` has Spark type {dt.simpleString()}, schema wants {node.type_names}",
+            )
+
+    # ---- enum -------------------------------------------------------------
+    if node.enum_values is not None:
+        scalars = [v for v in node.enum_values if not isinstance(v, (list, dict))]
+        pred = e.isin(*scalars) if scalars else F.lit(False)
+        add("enum", node.enum_values, F.when(e.isNotNull(), pred), f"value not in enum({len(node.enum_values)})")
+
+    # ---- string ----------------------------------------------------------
+    is_stringish = isinstance(dt, (T.StringType, T.VarcharType, T.CharType))
+    is_binary = isinstance(dt, T.BinaryType)
+    strlen = F.octet_length(e) if is_binary else F.length(e)
+    if node.min_length is not None and node.min_length > 0 and (is_stringish or is_binary):
+        add("minLength", node.min_length, strlen >= node.min_length, f"length < {node.min_length}")
+    if node.max_length is not None and (is_stringish or is_binary):
+        add("maxLength", node.max_length, strlen <= node.max_length, f"length > {node.max_length}")
+    if node.pattern is not None and is_stringish:
+        raw, _rx = node.pattern
+        if _PY_ONLY_RE.search(raw):
+            pred = _pandas_match_pred(e, raw)
+            add("pattern", raw, pred, f"does not match /{raw}/", uses_python=True)
+        else:
+            add("pattern", raw, e.rlike(f"^(?:{raw})"), f"does not match /{raw}/")
+    if node.format is not None and is_stringish:
+        add("format", node.format, _format_pred(e, node.format), f"not a valid {node.format}")
+
+    # ---- numeric ---------------------------------------------------------
+    is_numeric = isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                                 T.DoubleType, T.FloatType, T.DecimalType))
+    if node.minimum is not None and is_numeric:
+        op, v = node.minimum
+        add("minimum", v, (e > v) if op == "gt" else (e >= v),
+            f"value {'<=' if op == 'gt' else '<'} {v}")
+    if node.maximum is not None and is_numeric:
+        op, v = node.maximum
+        add("maximum", v, (e < v) if op == "lt" else (e <= v),
+            f"value {'>=' if op == 'lt' else '>'} {v}")
+    if node.multiple_of is not None and is_numeric and node.multiple_of != 0:
+        add("multipleOf", node.multiple_of, F.pmod(e, F.lit(node.multiple_of)) == 0,
+            f"not a multiple of {node.multiple_of}")
+
+    # ---- array -----------------------------------------------------------
+    if isinstance(dt, T.ArrayType):
+        if node.min_items is not None:
+            add("minItems", node.min_items, F.size(e) >= node.min_items, f"size < {node.min_items}")
+        if node.max_items is not None:
+            add("maxItems", node.max_items, F.size(e) <= node.max_items, f"size > {node.max_items}")
+        if node.unique_items:
+            add("uniqueItems", True, F.size(e) == F.size(F.array_distinct(e)), "duplicate elements")
+        if node.items_schema is not None:
+            elem_pred = _subschema_pred(node.items_schema, dt.elementType)
+            if elem_pred is not None:
+                add("items", node.keywords.get("items"), F.forall(e, elem_pred),
+                    "an element fails the items subschema")
+
+    # ---- composition (predicate algebra) ----------------------------------
+    if node.all_of:
+        preds = [_subschema_pred_col(c, e, dt) for c in node.all_of]
+        preds = [p for p in preds if p is not None]
+        if preds:
+            total = preds[0]
+            for p in preds[1:]:
+                total = total & p
+            add("allOf", node.keywords["allOf"], F.when(e.isNotNull(), total), "a subschema fails")
+    if node.any_of:
+        preds = [_subschema_pred_col(c, e, dt) for c in node.any_of]
+        if all(p is not None for p in preds) and preds:
+            total = preds[0]
+            for p in preds[1:]:
+                total = total | p
+            add("anyOf", node.keywords["anyOf"], F.when(e.isNotNull(), total), "no subschema passes")
+    if node.one_of:
+        preds = [_subschema_pred_col(c, e, dt) for c in node.one_of]
+        counted = [
+            (p if p is not None else F.lit(True)).cast("int") for p in preds
+        ]
+        total = counted[0]
+        for p in counted[1:]:
+            total = total + p
+        add("oneOf", node.keywords["oneOf"], F.when(e.isNotNull(), total == 1),
+            "subschema pass count != 1")
+    if node.not_ is not None:
+        p = _subschema_pred_col(node.not_, e, dt)
+        pred = F.lit(False) if p is None else ~p  # always-true subschema => always fail
+        add("not", node.keywords["not"], F.when(e.isNotNull(), pred), "`not` subschema passes")
+
+    return out
+
+
+def _subschema_pred_col(node: SchemaNode, e: Column, dt: T.DataType) -> Optional[Column]:
+    """Compile a subschema to a single boolean pass-Column over e.
+    Returns None when the subschema is vacuous for this Spark type
+    (always-true).  NULL-safe: caller wraps with isNotNull."""
+    checks = _compile_property(node, "_", e, dt)
+    if not checks:
+        return None
+    total = checks[0].pred
+    for c in checks[1:]:
+        total = total & c.pred
+    return total
+
+
+def _subschema_pred(node: SchemaNode, elem_dt: T.DataType):
+    """Element-level lambda for forall()."""
+    probe = _compile_property(node, "_elem", F.lit(None), elem_dt)
+    if not probe:
+        return None
+
+    def fn(x: Column) -> Column:
+        checks = _compile_property(node, "_elem", x, elem_dt)
+        total = checks[0].pred
+        for c in checks[1:]:
+            total = total & c.pred
+        # absent-key vacuity doesn't apply to array elements: a NULL
+        # element is JSON null and must fail typed checks; draft-04
+        # semantics for nulls inside arrays with e.g. {"type":"integer"}
+        return F.coalesce(total, F.lit(False))
+
+    return fn
+
+
+def _format_pred(e: Column, fmt: str) -> Column:
+    """Catalyst translations of the six format algorithms
+    (xjs.formats pins the Python-side semantics; tests cross-check)."""
+    if fmt == "date-time":
+        return e.rlike(formats.JAVA_DATETIME_RLIKE)
+    if fmt == "ipv4":
+        return e.rlike(formats.JAVA_IPV4_RLIKE)
+    if fmt == "uri":
+        return e.rlike(formats.JAVA_URI_RLIKE)
+    if fmt == "hostname":
+        return (F.length(e) > 0) & ~e.rlike(formats.JAVA_BAD_HOSTNAME)
+    if fmt == "email":
+        at = F.instr(e, "@")
+        name = F.substring_index(e, "@", 1)  # split("@", 1)[0]
+        domain = F.substr(e, at + 1)         # split("@", 1)[1]
+        return (
+            (at > 0)
+            & (F.length(name) > 0)
+            & (F.length(domain) > 0)
+            & ~name.rlike(formats.JAVA_BAD_EMAIL_NAME)
+            & ~domain.rlike(formats.JAVA_BAD_EMAIL_DOMAIN)
+        )
+    if fmt == "ipv6":
+        parts = F.split(e, ":", -1)
+        hexpart = "^(0|[1-9a-fA-F][0-9a-fA-F]{0,3})$"
+        n_empty = F.size(F.filter(parts, lambda p: p == ""))
+        return (
+            (F.size(parts) < 9)
+            & F.forall(parts, lambda p: (p == "") | p.rlike(hexpart))
+            & ~((n_empty > 3) | ((n_empty > 1) & (F.size(parts) > 4)))
+        )
+    raise PlanError(f"unknown format {fmt}")
+
+
+def _pandas_match_pred(e: Column, pattern: str) -> Column:
+    """Vectorized pandas-UDF fallback for Python-only regex syntax."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _match(s: pd.Series) -> pd.Series:
+        rx = re.compile(pattern)
+        return s.str.match(rx).astype("boolean")
+
+    return _match(e)

@@ -1,0 +1,115 @@
+"""Runtime: execute a CheckPlan over a DataFrame.
+
+Violation emission is a single narrow projection (no shuffle): build
+one ``array<struct>`` of per-check violation payloads, drop the nulls,
+explode.  Catalyst sees one scan with every predicate inside one
+whole-stage-codegen span; column pruning reads only the columns the
+compiled checks reference.
+
+Verdicts are a single aggregation pass (one shuffle on the partition
+column): per-check violation counts computed as conditional sums in
+the same ``groupBy``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xjs.plan import CheckPlan
+
+VIOLATION_COLUMNS = ["id", "path", "keyword", "value_json", "reason", "partition_id"]
+
+
+@dataclass
+class RunResult:
+    violations: DataFrame
+    verdicts: DataFrame
+
+
+def violations(df: DataFrame, plan: CheckPlan) -> DataFrame:
+    """(id, path, keyword, value_json, reason, partition_id) — one row
+    per failed check per document.  Narrow: scan → project → explode."""
+    entries = [
+        F.when(
+            c.pred.eqNullSafe(F.lit(False)),  # NULL pred = vacuous pass
+            F.struct(
+                F.lit(c.path).alias("path"),
+                F.lit(c.keyword).alias("keyword"),
+                F.lit(c.value_json).alias("value_json"),
+                F.lit(c.reason).alias("reason"),
+            ),
+        )
+        for c in plan.checks
+    ]
+    part = (
+        F.col(plan.partition_col)
+        if plan.partition_col
+        else F.spark_partition_id()
+    )
+    exploded = df.select(
+        F.col(plan.id_col).alias("id"),
+        part.cast("int").alias("partition_id"),
+        F.explode(
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+        ).alias("v"),
+    )
+    return exploded.select(
+        "id",
+        F.col("v.path").alias("path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.value_json").alias("value_json"),
+        F.col("v.reason").alias("reason"),
+        "partition_id",
+    )
+
+
+def verdicts(df: DataFrame, plan: CheckPlan) -> DataFrame:
+    """(partition_id, check_name, pass, n_checked, n_violations) —
+    one aggregation pass over all checks at once."""
+    part = (
+        F.col(plan.partition_col)
+        if plan.partition_col
+        else F.spark_partition_id()
+    )
+    aggs = []
+    for i, c in enumerate(plan.checks):
+        aggs.append(
+            F.sum(c.pred.isNotNull().cast("long")).alias(f"_n{i}")
+        )
+        aggs.append(
+            F.sum(c.pred.eqNullSafe(F.lit(False)).cast("long")).alias(f"_v{i}")
+        )
+    grouped = df.groupBy(part.cast("int").alias("partition_id")).agg(*aggs)
+
+    # unpivot per-check columns into verdict rows with one stack()
+    stack_args = []
+    for i, c in enumerate(plan.checks):
+        stack_args.append(f"'{_sql_escape(c.name)}'")
+        stack_args.append(f"_n{i}")
+        stack_args.append(f"_v{i}")
+    n = len(plan.checks)
+    stacked = grouped.select(
+        "partition_id",
+        F.expr(
+            f"stack({n}, {', '.join(stack_args)}) as (check_name, n_checked, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "partition_id",
+        "check_name",
+        (F.col("n_violations") == 0).alias("pass"),
+        "n_checked",
+        "n_violations",
+    )
+
+
+def run_plan(df: DataFrame, plan: CheckPlan) -> RunResult:
+    return RunResult(violations=df.transform(violations, plan), verdicts=verdicts(df, plan))
+
+
+def _sql_escape(s: str) -> str:
+    return s.replace("'", "''")
