@@ -22,6 +22,7 @@ from xjs.flagship import (  # noqa: E402
     oracle_violations_sql,
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
+from xjs.checks import drift, monotonicity, referential, stats, uniqueness  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,8 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # schema validation (static Catalyst plan)
         "webpages_violations": flagship_violations,
         "webpages_verdicts": flagship_verdicts,
+        # engine constraint classes (north_star)
+        "stats_single_pass": lambda s, d: stats.webpages_stats(s, d, mode="exact"),
+        "uniqueness_url": uniqueness.webpages_duplicate_urls,
+        "referential_domains": referential.webpages_referential_violations,
+        "referential_orders": referential.orders_missing_customers,
+        "drift_histogram": drift.webpages_drift_histogram,
+        "drift_psi": drift.webpages_drift_psi,
+        "ts_monotonicity_webpages": monotonicity.webpages_ts_monotonicity,
+        "ts_monotonicity_events": monotonicity.events_ts_monotonicity,
     }
 
 
@@ -40,4 +51,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "webpages_violations": oracle_violations_sql(DUCKDB_CTE),
         "webpages_verdicts": oracle_verdicts_sql(DUCKDB_CTE),
+        "stats_single_pass": stats.oracle_webpages_stats_sql(DUCKDB_CTE),
+        "uniqueness_url": uniqueness.oracle_duplicate_urls_sql(DUCKDB_CTE),
+        "referential_domains": referential.oracle_referential_sql(DUCKDB_CTE),
+        "referential_orders": referential.ORACLE_ORDERS_MISSING_SQL,
+        "drift_histogram": drift.oracle_drift_histogram_sql(DUCKDB_CTE),
+        "drift_psi": drift.oracle_drift_psi_sql(DUCKDB_CTE),
+        "ts_monotonicity_webpages": monotonicity.oracle_webpages_monotonicity_sql(DUCKDB_CTE),
+        "ts_monotonicity_events": monotonicity.ORACLE_EVENTS_MONOTONICITY_SQL,
     }

@@ -1,0 +1,82 @@
+"""Uniqueness-of-key with explicit skew defusal (north_star class).
+
+At 10^12 rows a ``groupBy(url)`` shuffles on a Zipfian key.  For pure
+counting, Spark's partial aggregation already combines map-side, but
+any per-key state beyond a counter (example rows, first/last ts)
+re-concentrates hot keys on one reducer.  The two-stage *salted*
+aggregation below bounds any single reducer's share of a hot key to
+1/S regardless of what is aggregated:
+
+    stage 1: groupBy(key, salt)  ->  partial per-(key,salt) state
+    stage 2: groupBy(key)        ->  merge the S partials
+
+Salt is derived from a per-row value (``monotonically_increasing_id``)
+so identical keys spread across S buckets; the final result is
+salt-invariant, so determinism is preserved.  AQE's skew handling
+(``spark.sql.adaptive...skewJoin``) is the fallback when salting is
+off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, key: str, n_salts: int = 64, min_count: int = 2) -> DataFrame:
+    """(key, n_rows) for every key appearing >= min_count times."""
+    salted = df.select(
+        F.col(key),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt"),
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_c"),
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("_c").alias("n_rows"))
+        .filter(F.col("n_rows") >= min_count)
+    )
+
+
+def duplicate_url_sample(df: DataFrame, key: str = "url", n_salts: int = 64) -> DataFrame:
+    """Duplicates with per-key evidence (min/max partition seen) — the
+    case where salting actually matters: the merged state is more than
+    a counter but stays bounded per salt bucket."""
+    salted = df.select(
+        F.col(key),
+        F.col("partition_id"),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt"),
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("partition_id").alias("_minp"),
+        F.max("partition_id").alias("_maxp"),
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("_c").alias("n_rows"),
+            F.min("_minp").alias("first_partition"),
+            F.max("_maxp").alias("last_partition"),
+        )
+        .filter(F.col("n_rows") >= 2)
+    )
+
+
+def webpages_duplicate_urls(spark, sf_dir: str) -> DataFrame:
+    from xjs.sources.webpages import webpages
+
+    return duplicate_url_sample(webpages(spark, sf_dir), "url")
+
+
+def oracle_duplicate_urls_sql(cte: str) -> str:
+    return f"""
+WITH {cte}
+SELECT url, COUNT(*) AS n_rows,
+       MIN(partition_id) AS first_partition,
+       MAX(partition_id) AS last_partition
+FROM webpages
+GROUP BY url
+HAVING COUNT(*) >= 2
+"""
