@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship validation runs over a deterministically scaled web-pages
+table (XJS_BENCH_FACTOR x the documents base, default 200) so the
+numbers measure sustained per-doc validation throughput, not Spark
+fixed overhead.  Engine checks run at the same scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_queries(spark, sf_dir: str, factor: int):
+    """name -> (df_factory, row_source_count) for the headline set."""
+    from xjs.checks import drift, monotonicity, referential, stats, uniqueness
+    from xjs.flagship import compile_plan
+    from xjs.runtime import verdicts, violations
+    from xjs.sources.webpages import webpages_scaled
+
+    def wp():
+        return webpages_scaled(spark, sf_dir, factor)
+
+    def q_violations():
+        w = wp()
+        return violations(w, compile_plan(w))
+
+    def q_verdicts():
+        w = wp()
+        return verdicts(w, compile_plan(w))
+
+    def q_stats():
+        return stats.column_stats(
+            wp().withColumn("text_len", F.length("text")).withColumn(
+                "html_bytes", F.octet_length("html")
+            ),
+            ["partition_id"],
+            numeric_cols=["text_len", "html_bytes"],
+            categorical_cols=["lang"],
+            timestamp_cols=["warc_ts"],
+            mode="approx",
+        )
+
+    def q_uniqueness():
+        return uniqueness.duplicate_url_sample(wp(), "url")
+
+    def q_referential():
+        w = wp().withColumn("domain", referential.domain_of(F.col("url")))
+        dim = referential.domain_allowlist(spark, sf_dir)
+        return referential.missing_keys(w, dim, "domain", "domain").select("url")
+
+    def q_drift():
+        h = drift.histogram(
+            wp(), F.length("text"), "partition_id",
+            drift.TEXT_LEN_LO, drift.TEXT_LEN_HI, drift.N_BUCKETS,
+        )
+        base = h.groupBy("bucket").agg(F.sum("n").alias("n"))
+        return drift.psi(h, base, "partition_id", drift.N_BUCKETS)
+
+    def q_monotonicity():
+        return monotonicity.out_of_order(wp(), "source", "doc_id", "warc_ts")
+
+    return {
+        "webpages_violations": q_violations,
+        "webpages_verdicts": q_verdicts,
+        "stats_single_pass": q_stats,
+        "uniqueness_url": q_uniqueness,
+        "referential_domains": q_referential,
+        "drift_psi": q_drift,
+        "ts_monotonicity": q_monotonicity,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    factor = int(os.environ.get("XJS_BENCH_FACTOR", "200"))
+
+    from xjs.session import get_spark
+
+    spark = get_spark(app_name="xjs-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    import duckdb  # count base docs for docs/sec
+
+    n_base = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_docs = n_base * factor
+
+    queries = build_queries(spark, sf_dir, factor)
+
+    # warm-up: JIT/codegen + file listing, not measured
+    queries["webpages_verdicts"]().count()
+
+    timings = {}
+    for name, make in queries.items():
+        t0 = time.perf_counter()
+        make().count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    flagship_dps = round(n_docs / timings["webpages_violations"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline validation suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_docs": n_docs,
+                "factor": factor,
+                "cpus": cpus,
+                "docs_per_sec_flagship": flagship_dps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

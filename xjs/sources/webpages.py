@@ -50,7 +50,10 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def webpages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> web-pages table, all built-in expressions (one
     narrow projection; at scale this is a parquet scan + codegen map)."""
-    d = load_documents(spark, sf_dir)
+    return _derive(load_documents(spark, sf_dir))
+
+
+def _derive(d: DataFrame) -> DataFrame:
     doc_id = F.col("doc_id")
     text_mod = F.when(doc_id % 131 == 0, F.lit("")).otherwise(F.col("text"))
     url = F.concat(
@@ -80,6 +83,39 @@ def webpages(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id.alias("doc_id"),
         F.col("source").alias("source"),
     )
+
+
+def webpages_scaled(
+    spark: SparkSession, sf_dir: str, factor: int, parallelism: int | None = None
+) -> DataFrame:
+    """Deterministic scale-up for benching: replicate the documents
+    table ``factor``× with a doc_id stride larger than any base table,
+    so injection residues stay diverse and the derived table is a pure
+    function of (sf_dir, factor).
+
+    Parallelism note: a naive ``crossJoin(documents, range(factor))``
+    plans a BroadcastNestedLoopJoin streaming the (single-file!) parquet
+    side — ONE task regardless of cores, which killed scaling at
+    local[32].  Instead the driver of parallelism is an explicitly
+    partitioned ``spark.range(n_base*factor)`` broadcast-hash-joined to
+    the small documents table: every core gets range splits, and the
+    join is narrow."""
+    d = load_documents(spark, sf_dir)
+    n_base = d.count()  # small dimension table; one cheap job
+    par = parallelism or spark.sparkContext.defaultParallelism * 4
+    ids = spark.range(0, n_base * factor, 1, par)
+    keyed = ids.select(
+        (F.col("id") % n_base).alias("_base"),
+        (F.col("id") / n_base).cast("long").alias("_rep"),
+    )
+    # documents doc_id is dense 0..n_base-1, so _base == doc_id
+    dim = F.broadcast(d.withColumn("_base", F.col("doc_id")).drop("doc_id"))
+    joined = keyed.join(dim, "_base")
+    docs = (
+        joined.withColumn("doc_id", F.col("_base") + F.col("_rep") * F.lit(1_000_000))
+        .drop("_base", "_rep")
+    )
+    return _derive(docs)
 
 
 def extract_text(html_col):
