@@ -23,6 +23,7 @@ from xjs.flagship import (  # noqa: E402
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
 from xjs.checks import drift, monotonicity, referential, stats, uniqueness  # noqa: E402
+from xjs.pipeline import dedup, multimodal, similarity, text  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,6 +45,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": drift.webpages_drift_psi,
         "ts_monotonicity_webpages": monotonicity.webpages_ts_monotonicity,
         "ts_monotonicity_events": monotonicity.events_ts_monotonicity,
+        # training-data pipeline ops
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash_lsh": dedup.q_dedup_minhash,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_simhash_pairs": dedup.q_dedup_simhash_pairs,
+        "similarity_topk_bruteforce": similarity.brute_force_topk,
+        "similarity_lsh_buckets": similarity.lsh_buckets,
+        "similarity_lsh_topk": similarity.lsh_topk,
+        "text_quality": text.q_text_quality,
+        "text_langid": text.q_text_langid,
+        "text_fingerprint": text.q_text_fingerprint,
+        "multimodal_meta": multimodal.q_multimodal_meta,
     }
 
 
@@ -59,4 +72,15 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi": drift.oracle_drift_psi_sql(DUCKDB_CTE),
         "ts_monotonicity_webpages": monotonicity.oracle_webpages_monotonicity_sql(DUCKDB_CTE),
         "ts_monotonicity_events": monotonicity.ORACLE_EVENTS_MONOTONICITY_SQL,
+        "dedup_exact": dedup.ORACLE_DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": dedup.oracle_dedup_minhash_sql(),
+        "dedup_simhash": dedup.oracle_dedup_simhash_sql(),
+        "dedup_simhash_pairs": dedup.oracle_dedup_simhash_pairs_sql(),
+        "similarity_topk_bruteforce": similarity.oracle_brute_force_sql(),
+        "similarity_lsh_buckets": similarity.oracle_lsh_buckets_sql(),
+        "similarity_lsh_topk": similarity.oracle_lsh_topk_sql(),
+        "text_quality": text.ORACLE_TEXT_QUALITY_SQL,
+        "text_langid": text.oracle_text_langid_sql(),
+        "text_fingerprint": text.oracle_text_fingerprint_sql(),
+        "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
     }

@@ -1,0 +1,342 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash — the operations
+a web-scale training-data pipeline runs before anything else.
+
+Scale shapes (the part that matters at 100 TB):
+
+* **exact**: hash-groupBy on a digest — one shuffle on md5(text);
+  partial aggregation absorbs duplicates map-side, so even a corpus
+  that is 50% copies shuffles only unique digests + counts.
+* **minhash-LSH**: narrow per-doc signature computation (shingle →
+  K hashes → band keys, all codegen), then a self-join on
+  (band, band_key).  The join shuffles signature rows, NOT documents;
+  candidate verification re-joins token sets only for candidate pairs.
+  Hot buckets (boilerplate pages) are the skew risk — AQE skew-join
+  plus an optional bucket-size cap handle it.
+* **simhash**: one 32-bit signature per doc (narrow), candidate pairs
+  via equality on any of four 8-bit chunks (pigeonhole: hamming ≤ 3
+  guarantees a shared chunk when distance concentrates), verified by
+  bit_count(xor).
+
+All hashing uses xjs.pipeline.hashing's portable polynomial hash so
+every stage has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xjs.pipeline.hashing import MOD, char_hash, char_hash_sql, hash_params
+
+SHINGLE = 3          # tokens per shingle
+K = 12               # minhash functions
+BANDS = 4            # LSH bands (K/BANDS rows each)
+ROWS = K // BANDS
+JACCARD_T = 0.5      # verification threshold
+SIM_BITS = 32        # simhash width
+SIM_CHUNKS = 4       # 8-bit chunks for candidate banding
+HAMMING_T = 3
+
+
+# --------------------------------------------------------------------------
+# corpus with injected duplicates (documents has none) — deterministic and
+# mirrored in DUCKDB_CORPUS_CTE so dedup oracles have known answers
+# --------------------------------------------------------------------------
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = (
+        d.filter(F.col("doc_id") % 60 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+    near = (
+        d.filter(F.col("doc_id") % 40 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail marker token")).alias("text"),
+        )
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+DUCKDB_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 60 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' tail marker token' AS text
+    FROM documents WHERE doc_id % 40 = 0
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame) -> DataFrame:
+    """(text_md5, n_docs, keep_doc_id): groups of byte-identical texts;
+    survivor = min doc_id."""
+    return (
+        df.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(dedup_corpus(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT_SQL = f"""
+WITH {DUCKDB_CORPUS_CTE.strip()}
+SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM corpus GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _shingle_hashes(col: Column) -> Column:
+    """array<long> of hashed 3-token shingles (empty if < 3 tokens)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    shingles = F.when(
+        n >= SHINGLE,
+        F.transform(
+            F.sequence(F.lit(0), n - SHINGLE),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(shingles, lambda s: char_hash(s))
+
+
+def minhash_signature(col: Column) -> Column:
+    """array<long> length K: min over shingles of (a_k*h + b_k) % MOD."""
+    hs = _shingle_hashes(col)
+
+    def mk(a, b):
+        return lambda h: (h * a + b) % MOD
+
+    sigs = []
+    for k in range(K):
+        a, b = hash_params(k)
+        sigs.append(F.array_min(F.transform(hs, mk(a, b))))
+    return F.array(*sigs)
+
+
+def band_keys(sig: Column) -> Column:
+    """array<string> length BANDS: concatenated rows per band."""
+    keys = []
+    for b in range(BANDS):
+        parts = [sig.getItem(b * ROWS + r) for r in range(ROWS)]
+        keys.append(F.concat_ws("_", *[p.cast("string") for p in parts]))
+    return F.array(*keys)
+
+
+def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) sharing at least one LSH band."""
+    sig = df.select(
+        "doc_id",
+        F.posexplode(band_keys(minhash_signature(F.col("text")))).alias("band", "key"),
+    ).filter(F.col("key") != "")  # docs with no shingles produce empty keys
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_near_duplicates(df: DataFrame) -> DataFrame:
+    """Candidates verified by exact token-set Jaccard >= JACCARD_T:
+    (doc_a, doc_b, jaccard).  Only candidate pairs re-join the token
+    sets — the verification cost is proportional to candidates, not
+    to |corpus|^2."""
+    pairs = minhash_candidate_pairs(df)
+    toksets = df.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
+    )
+    j = (
+        pairs.join(toksets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toksets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    jac = F.round(inter.cast("double") / union, 4)
+    return (
+        j.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return verified_near_duplicates(dedup_corpus(spark, sf_dir))
+
+
+def _minhash_sql() -> str:
+    """DuckDB: same signature/bands arithmetic."""
+    h = char_hash_sql("s")
+    shingle_hashes = (
+        "list_transform("
+        " CASE WHEN len(string_split(text,' ')) >= 3"
+        "      THEN list_transform(range(1, len(string_split(text,' ')) - 1),"
+        "           i -> array_to_string(string_split(text,' ')[i:i+2], ' '))"
+        "      ELSE [] END,"
+        f" s -> {h})"
+    )
+    sig_items = []
+    for k in range(K):
+        a, b = hash_params(k)
+        sig_items.append(f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MOD}))")
+    bands = []
+    for bnd in range(BANDS):
+        parts = [f"sig[{bnd * ROWS + r + 1}]::VARCHAR" for r in range(ROWS)]
+        bands.append(" || '_' || ".join(parts))
+    return f"""
+sigs AS (
+    SELECT doc_id, [{', '.join(sig_items)}] AS sig
+    FROM (SELECT doc_id, {shingle_hashes} AS hs FROM corpus)
+),
+bands AS (
+    SELECT doc_id, band, key FROM (
+        SELECT doc_id, UNNEST(RANGE({BANDS})) AS band,
+               UNNEST([{', '.join(bands)}]) AS key
+        FROM sigs
+    ) WHERE key IS NOT NULL AND key <> ''
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM corpus)
+"""
+
+
+def oracle_dedup_minhash_sql() -> str:
+    return f"""
+WITH {DUCKDB_CORPUS_CTE.strip()},
+{_minhash_sql().strip()}
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+             (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 4) AS jaccard
+FROM cands
+JOIN toksets ta ON ta.doc_id = doc_a
+JOIN toksets tb ON tb.doc_id = doc_b
+WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+      (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= {JACCARD_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash(col: Column) -> Column:
+    """32-bit simhash over token hashes: bit b set iff the sum of
+    (+1 / -1) contributions of each token's bit b is positive."""
+    tok_hashes = F.transform(F.array_distinct(_tokens(col)), lambda t: char_hash(t))
+
+    def mk(b):
+        return lambda acc, h: acc + F.when(F.shiftright(h, b) % 2 == 1, 1).otherwise(-1)
+
+    bits = []
+    for b in range(SIM_BITS):
+        contrib = F.aggregate(tok_hashes, F.lit(0).cast("long"), mk(b))
+        bits.append(F.when(contrib > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+    total = bits[0]
+    for x in bits[1:]:
+        total = total + x
+    return total
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sim) signatures plus verified near-pairs by hamming."""
+    df = dedup_corpus(spark, sf_dir)
+    return df.select("doc_id", simhash(F.col("text")).alias("sim"))
+
+
+def simhash_pairs(df: DataFrame) -> DataFrame:
+    """Near-pairs with hamming(sim_a, sim_b) <= HAMMING_T, candidates
+    via shared 8-bit chunk (pigeonhole over SIM_CHUNKS chunks)."""
+    sims = df.select("doc_id", simhash(F.col("text")).alias("sim"))
+    chunks = sims.select(
+        "doc_id", "sim",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright(F.col("sim"), 8 * c) % 256).alias(f"c{c}")
+                for c in range(SIM_CHUNKS)
+            ])
+        ).alias("chunk", "val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cands.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= HAMMING_T
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(dedup_corpus(spark, sf_dir))
+
+
+def _simhash_sql_expr() -> str:
+    h = char_hash_sql("t")
+    bit_terms = []
+    for b in range(SIM_BITS):
+        bit_terms.append(
+            f"CASE WHEN list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(th, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)), "
+            f"(x, y) -> x + y) > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END"
+        )
+    return (
+        f"(SELECT doc_id, {' + '.join(bit_terms)} AS sim FROM "
+        f"(SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), t -> {h}) AS th FROM corpus))"
+    )
+
+
+def oracle_dedup_simhash_sql() -> str:
+    return f"""
+WITH {DUCKDB_CORPUS_CTE.strip()}
+SELECT doc_id, sim FROM {_simhash_sql_expr()} t
+"""
+
+
+def oracle_dedup_simhash_pairs_sql() -> str:
+    return f"""
+WITH {DUCKDB_CORPUS_CTE.strip()},
+sims AS (SELECT doc_id, sim FROM {_simhash_sql_expr()} t),
+chunks AS (
+    SELECT doc_id, sim, UNNEST(RANGE({SIM_CHUNKS})) AS chunk,
+           UNNEST([{', '.join(f'(sim >> {8 * c}) % 256' for c in range(SIM_CHUNKS))}]) AS val
+    FROM sims
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INTEGER AS hamming
+FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_T}
+"""

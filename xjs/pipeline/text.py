@@ -1,0 +1,188 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/array ops — zero Python),
+each with an exact DuckDB oracle.  At 100 TB these are narrow
+map-stage columns appended to the scan, fused into the same
+whole-stage-codegen pass as the validation predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xjs.pipeline.hashing import char_hash, char_hash_sql
+
+#: tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic (fixed, deterministic; order = tiebreak order)
+LANG_PROFILES = [
+    ("en", ["the", "and", "of", "to", "a", "in", "is"]),
+    ("de", ["der", "die", "und", "das", "ist", "nicht"]),
+    ("fr", ["le", "la", "et", "les", "des", "est"]),
+    ("es", ["el", "la", "de", "que", "los", "es"]),
+]
+
+STOPWORDS = sorted({w for _, ws in LANG_PROFILES for w in ws})
+
+FP_PREFIX = 256   # fingerprint looks at the first N chars
+FP_GRAM = 5       # char n-gram width
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), "\\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    punct_ratio, quality_score) — the classic cheap quality signals."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = token_count(t)
+    n_chars = F.length(t)
+    avg_tok = F.round(
+        (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)).cast("double"), 4)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (1 - punct_ratio) * 0.2,
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(d)
+
+
+ORACLE_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               x -> list_contains({STOPWORDS!r}, x))) AS n_stop,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND((n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1), 4) AS avg_token_len,
+       ROUND(n_stop / GREATEST(n_tokens, 1)::DOUBLE, 4) AS stopword_ratio,
+       ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 4) AS punct_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + ROUND(n_stop / GREATEST(n_tokens, 1)::DOUBLE, 4) * 0.4
+             + (1 - ROUND(n_punct / GREATEST(n_chars, 1)::DOUBLE, 4)) * 0.2, 4) AS quality_score
+FROM t
+"""
+
+
+def langid(col: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language hit counts;
+    'und' (undetermined) when no profile scores > 0.  Ties break by
+    profile order."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for _, ws in LANG_PROFILES
+    ]
+    best = F.greatest(*scores)
+    out = F.lit("und")
+    # reverse order => earlier profiles win ties
+    for (lang, _), s in reversed(list(zip(LANG_PROFILES, scores))):
+        out = F.when(s == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit("und")).otherwise(out)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+def _langid_sql() -> str:
+    score_exprs = [
+        f"len(list_intersect(toks, {ws!r}))" for _, ws in LANG_PROFILES
+    ]
+    best = f"GREATEST({', '.join(score_exprs)})"
+    case = "'und'"
+    for (lang, _), s in reversed(list(zip(LANG_PROFILES, score_exprs))):
+        case = f"CASE WHEN {s} = best THEN '{lang}' ELSE {case} END"
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+    FROM documents
+),
+s AS (SELECT doc_id, toks, {best} AS best FROM t)
+SELECT doc_id, CASE WHEN best <= 0 THEN 'und' ELSE {case} END AS lang_pred FROM s
+"""
+
+
+def oracle_text_langid_sql() -> str:
+    return _langid_sql()
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: min polynomial hash over the char
+    FP_GRAM-grams of the first FP_PREFIX chars (winnowing-lite)."""
+    prefix = F.substring(col, 1, FP_PREFIX)
+    n = F.length(prefix)
+    grams = F.when(
+        n >= FP_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - FP_GRAM + 1),
+            lambda i: F.substr(col, i, F.lit(FP_GRAM)),
+        ),
+    ).otherwise(F.array(col))
+    hashes = F.transform(grams, lambda g: char_hash(g))
+    return F.array_min(hashes)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def oracle_text_fingerprint_sql() -> str:
+    g = char_hash_sql("g")
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, substring(text, 1, {FP_PREFIX}) AS prefix FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+           CASE WHEN length(prefix) >= {FP_GRAM}
+                THEN list_transform(range(1, length(prefix) - {FP_GRAM} + 2),
+                                    i -> substring(text, i, {FP_GRAM}))
+                ELSE [text] END,
+           g -> {g})) AS fp,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM t
+"""
