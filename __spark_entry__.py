@@ -24,6 +24,7 @@ from xjs.flagship import (  # noqa: E402
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
 from xjs.checks import drift, monotonicity, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import dedup, multimodal, similarity, text  # noqa: E402
+from xjs import dynamic_spark  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -57,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text.q_text_langid,
         "text_fingerprint": text.q_text_fingerprint,
         "multimodal_meta": multimodal.q_multimodal_meta,
+        # dynamic mode (Arrow pandas-UDF over JSON strings) + MapType static
+        "dynamic_json_props": dynamic_spark.q_dynamic_props,
+        "static_map_props": dynamic_spark.q_static_props_map,
     }
 
 
@@ -83,4 +87,6 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": text.oracle_text_langid_sql(),
         "text_fingerprint": text.oracle_text_fingerprint_sql(),
         "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
+        "dynamic_json_props": dynamic_spark.ORACLE_DYNAMIC_PROPS_SQL,
+        "static_map_props": dynamic_spark.ORACLE_STATIC_PROPS_MAP_SQL,
     }

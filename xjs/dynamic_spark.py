@@ -1,0 +1,161 @@
+"""Dynamic mode on Spark: validate a JSON-string column with the
+compiled closure evaluator inside an Arrow-batched pandas UDF.
+
+This is the heterogeneous-documents path (SURVEY.md §1.3 mode (b)):
+schemas whose type dispatch can't be resolved statically (mixed-type
+arrays, open objects, nested composition) run the SAME evaluator that
+is parity-tested against the reference — compiled ONCE on the driver,
+shipped in the UDF closure, applied per Arrow batch.
+
+Scale notes: this is deliberately the slow path — per-doc Python after
+Arrow transfer — reserved for columns where Catalyst can't express the
+semantics.  The flagship web-pages checks never come here.  Batch size
+via spark.sql.execution.arrow.maxRecordsPerBatch; the stage stays
+narrow (no shuffle), so it scales linearly with executors like any
+map stage.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from xjs.dynamic import build_evaluator
+from xjs.frontend import compile_frontend
+
+_ERRORS_TYPE = "array<struct<path:string,keyword:string,value_json:string>>"
+
+
+def json_errors_udf(schema: dict):
+    """Compile ``schema`` once; return a Column-function mapping a JSON
+    string column to an array of error structs (NULL input -> NULL,
+    unparseable input -> one `$malformed` error)."""
+    node = compile_frontend(schema)  # driver-side SchemaError surface
+    evaluate = build_evaluator(node)
+
+    @pandas_udf(_ERRORS_TYPE)
+    def _validate(s: pd.Series) -> pd.Series:
+        def run(txt: Optional[str]):
+            if txt is None:
+                return None
+            try:
+                doc = json.loads(txt)
+            except (ValueError, TypeError):
+                return [("", "$malformed", "null")]
+            return [
+                (
+                    ".".join(str(p) for p in e["path"]),
+                    e["keyword"],
+                    json.dumps(e["value"], default=str),
+                )
+                for e in evaluate(doc)
+            ]
+
+        return s.map(run)
+
+    return _validate
+
+
+def dynamic_violations(
+    df: DataFrame,
+    schema: dict,
+    json_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, path, keyword, value_json) — one row per error per doc,
+    with the reference's error multiplicity/paths preserved."""
+    errs = json_errors_udf(schema)(F.col(json_col))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(errs).alias("e"))
+        .select(
+            "id",
+            F.col("e.path").alias("path"),
+            F.col("e.keyword").alias("keyword"),
+            F.col("e.value_json").alias("value_json"),
+        )
+    )
+
+
+# --- driver-table query: validate events.props ----------------------------
+
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {
+        "k": {"type": "integer", "minimum": 0, "maximum": 80, "multipleOf": 3},
+    },
+    "additionalProperties": False,
+}
+
+
+def q_dynamic_props(spark, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dynamic_violations(ev, PROPS_SCHEMA, "props", "event_id")
+
+
+#: DuckDB oracle replicating the evaluator's error multiplicity for
+#: this schema over {"k": <int>} documents: maximum and multipleOf
+#: each produce one error with path "k"; value_json matches json.dumps.
+ORACLE_DYNAMIC_PROPS_SQL = """
+WITH e AS (
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_id AS id, 'k' AS path, 'maximum' AS keyword, '80' AS value_json
+FROM e WHERE k > 80
+UNION ALL
+SELECT event_id AS id, 'k' AS path, 'multipleOf' AS keyword, '3' AS value_json
+FROM e WHERE k % 3 <> 0
+"""
+
+
+# --- static MapType mode: open objects as map<string,long> columns --------
+
+MAP_PROPS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "propsmap": {
+            "type": "object",
+            "minProperties": 1,
+            "maxProperties": 2,
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 5}},
+            "additionalProperties": False,
+        }
+    },
+}
+
+
+def q_static_props_map(spark, sf_dir: str) -> DataFrame:
+    """Object keywords compiled STATICALLY over a MapType column
+    (from_json of events.props): minProperties / maxProperties /
+    required / properties / additionalProperties as map_* expressions."""
+    from xjs.plan import compile_static
+    from xjs.runtime import violations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.pmod(F.col("event_id"), F.lit(16)).cast("int").alias("partition_id"),
+        F.from_json(F.col("props"), "map<string,bigint>").alias("propsmap"),
+    )
+    plan = compile_static(
+        MAP_PROPS_SCHEMA, ev.schema, id_col="event_id", partition_col="partition_id"
+    )
+    return violations(ev, plan)
+
+
+ORACLE_STATIC_PROPS_MAP_SQL = """
+WITH e AS (
+    SELECT event_id, CAST(event_id % 16 AS INTEGER) AS partition_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_id AS id, 'propsmap' AS path, 'properties' AS keyword,
+       '{"k": {"type": "integer", "minimum": 5}}' AS value_json,
+       'value of `k` fails its subschema' AS reason, partition_id
+FROM e WHERE k < 5
+"""

@@ -216,6 +216,62 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
                 add("items", node.keywords.get("items"), F.forall(e, elem_pred),
                     "an element fails the items subschema")
 
+    # ---- object keywords over MapType (open objects) ----------------------
+    if isinstance(dt, T.MapType):
+        keys = F.map_keys(e)
+        if node.min_properties is not None and node.min_properties > 0:
+            add("minProperties", node.min_properties, F.size(keys) >= node.min_properties,
+                f"fewer than {node.min_properties} keys")
+        if node.max_properties is not None:
+            add("maxProperties", node.max_properties, F.size(keys) <= node.max_properties,
+                f"more than {node.max_properties} keys")
+        if node.required:
+            for k in node.required:
+                add("required", node.required, F.map_contains_key(e, F.lit(k)),
+                    f"missing required key `{k}`")
+        for k, child in (node.properties or {}).items():
+            child_pred = _subschema_pred_col(child, e.getItem(k), dt.valueType)
+            if child_pred is not None:
+                add("properties", {k: child.raw},
+                    F.when(F.map_contains_key(e, F.lit(k)), child_pred).otherwise(F.lit(True)),
+                    f"value of `{k}` fails its subschema")
+        for pat, _rx, child in (node.pattern_properties or []):
+            def mk_pp(pat, child):
+                def fn(ent):
+                    cp = _subschema_pred_col(child, ent.getField("value"), dt.valueType)
+                    base = ~ent.getField("key").rlike(f"^(?:{pat})")
+                    return base if cp is None else (base | F.coalesce(cp, F.lit(True)))
+                return fn
+            add("patternProperties", {pat: child.raw},
+                F.forall(F.map_entries(e), mk_pp(pat, child)),
+                f"a key matching /{pat}/ has an invalid value")
+        if node.additional_properties is not None:
+            declared = list((node.properties or {}).keys())
+            pats = [p for p, _r, _c in (node.pattern_properties or [])]
+
+            def claimed(k: Column) -> Column:
+                c = k.isin(*declared) if declared else F.lit(False)
+                for p in pats:
+                    c = c | k.rlike(f"^(?:{p})")
+                return c
+
+            if node.additional_properties is False:
+                add("additionalProperties", False,
+                    F.forall(keys, lambda k: claimed(k)),
+                    "unexpected extra key")
+            else:
+                ap = node.additional_properties
+
+                def unclaimed_ok(ent):
+                    cp = _subschema_pred_col(ap, ent.getField("value"), dt.valueType)
+                    if cp is None:
+                        return F.lit(True)
+                    return claimed(ent.getField("key")) | F.coalesce(cp, F.lit(True))
+
+                add("additionalProperties", ap.raw,
+                    F.forall(F.map_entries(e), unclaimed_ok),
+                    "an extra key's value fails the additionalProperties subschema")
+
     # ---- composition (predicate algebra) ----------------------------------
     if node.all_of:
         preds = [_subschema_pred_col(c, e, dt) for c in node.all_of]
