@@ -1,0 +1,60 @@
+"""Streaming wrapper: availableNow file stream == batch results;
+windowed counts with watermark."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xjs.flagship import compile_plan
+from xjs.runtime import violations
+from xjs.sources.webpages import webpages
+from xjs.streaming import run_availablenow, windowed_violation_counts
+
+
+@pytest.fixture()
+def tmp(spark):
+    d = tempfile.mkdtemp(prefix="xjs-stream-", dir="/root/repo/.tmp")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp):
+    wp = webpages(spark, sf_dir)
+    plan = compile_plan(wp)
+    # land the table as two file batches (a mini ingest)
+    wp.filter(F.col("partition_id") < 8).write.parquet(f"{tmp}/in/batch1")
+    wp.filter(F.col("partition_id") >= 8).write.parquet(f"{tmp}/in/batch2")
+
+    stream = (
+        spark.readStream.schema(wp.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+    )
+    run_availablenow(stream, plan, f"{tmp}/out", f"{tmp}/ckpt")
+
+    got = spark.read.parquet(f"{tmp}/out")
+    expected = violations(wp, plan)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected.select(got.columns)).count() == 0
+
+
+def test_windowed_counts_with_watermark(spark, sf_dir, tmp):
+    wp = webpages(spark, sf_dir)
+    plan = compile_plan(wp)
+    wp.write.parquet(f"{tmp}/in2")
+    stream = spark.readStream.schema(wp.schema).parquet(f"{tmp}/in2")
+    agg = windowed_violation_counts(stream, plan, "warc_ts", window="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from wincounts").collect()
+    assert len(rows) > 0
+    total = sum(r["n"] for r in rows)
+    assert total == violations(wp, plan).count()

@@ -30,9 +30,11 @@ class RunResult:
     verdicts: DataFrame
 
 
-def violations(df: DataFrame, plan: CheckPlan) -> DataFrame:
-    """(id, path, keyword, value_json, reason, partition_id) — one row
-    per failed check per document.  Narrow: scan → project → explode."""
+def violations(df: DataFrame, plan: CheckPlan, keep_cols=()) -> DataFrame:
+    """(id, path, keyword, value_json, reason, partition_id[, keep_cols])
+    — one row per failed check per document.  Narrow: scan → project →
+    explode.  ``keep_cols`` are carried through (e.g. an event-time
+    column for streaming windows)."""
     entries = [
         F.when(
             c.pred.eqNullSafe(F.lit(False)),  # NULL pred = vacuous pass
@@ -60,6 +62,7 @@ def violations(df: DataFrame, plan: CheckPlan) -> DataFrame:
     exploded = df.select(
         F.col(plan.id_col).alias("id"),
         part.cast("int").alias("partition_id"),
+        *[F.col(c) for c in keep_cols],
         F.explode(
             F.filter(F.array(*entries), lambda x: x.isNotNull())
         ).alias("v"),
@@ -71,6 +74,7 @@ def violations(df: DataFrame, plan: CheckPlan) -> DataFrame:
         F.col("v.value_json").alias("value_json"),
         F.col("v.reason").alias("reason"),
         "partition_id",
+        *[F.col(c) for c in keep_cols],
     )
 
 
