@@ -28,6 +28,7 @@ def build_queries(spark, sf_dir: str, factor: int):
     """name -> (df_factory, row_source_count) for the headline set."""
     from xjs.checks import drift, monotonicity, referential, stats, uniqueness
     from xjs.flagship import compile_plan
+    from xjs.pipeline import dedup, similarity, text
     from xjs.runtime import verdicts, violations
     from xjs.sources.webpages import webpages_scaled
 
@@ -73,6 +74,22 @@ def build_queries(spark, sf_dir: str, factor: int):
     def q_monotonicity():
         return monotonicity.out_of_order(wp(), "source", "doc_id", "warc_ts")
 
+    def q_dedup_minhash():
+        # the production composition: exact-dedup (collapses the
+        # factor-x replication) -> MinHash-LSH over distinct texts
+        docs = wp().select(F.col("doc_id"), F.col("text"))
+        return dedup.near_duplicate_pipeline(docs)
+
+    def q_text_quality():
+        return text.quality_features(wp().select("doc_id", "text"))
+
+    def q_simhash():
+        docs = wp().select("doc_id", "text")
+        return docs.select("doc_id", dedup.simhash_native(F.col("text")).alias("sim"))
+
+    def q_similarity():
+        return similarity.brute_force_topk(spark, sf_dir)
+
     return {
         "webpages_violations": q_violations,
         "webpages_verdicts": q_verdicts,
@@ -81,6 +98,10 @@ def build_queries(spark, sf_dir: str, factor: int):
         "referential_domains": q_referential,
         "drift_psi": q_drift,
         "ts_monotonicity": q_monotonicity,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "similarity_topk": q_similarity,
     }
 
 

@@ -106,7 +106,17 @@ def _tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
-def _shingle_hashes(col: Column) -> Column:
+def _str_hash(s: Column, hash_mode: str) -> Column:
+    """portable: oracle-provable polynomial hash (slow: char-level fold
+    in interpreted higher-order functions).  native: xxhash64 folded
+    into [0, MOD) — the production path, ~50x faster, same plan shape,
+    no cross-engine oracle."""
+    if hash_mode == "native":
+        return F.pmod(F.xxhash64(s), F.lit(MOD))
+    return char_hash(s)
+
+
+def _shingle_hashes(col: Column, hash_mode: str = "portable") -> Column:
     """array<long> of hashed 3-token shingles (empty if < 3 tokens)."""
     toks = _tokens(col)
     n = F.size(toks)
@@ -117,12 +127,12 @@ def _shingle_hashes(col: Column) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.transform(shingles, lambda s: char_hash(s))
+    return F.transform(shingles, lambda s: _str_hash(s, hash_mode))
 
 
-def minhash_signature(col: Column) -> Column:
+def minhash_signature(col: Column, hash_mode: str = "portable") -> Column:
     """array<long> length K: min over shingles of (a_k*h + b_k) % MOD."""
-    hs = _shingle_hashes(col)
+    hs = _shingle_hashes(col, hash_mode)
 
     def mk(a, b):
         return lambda h: (h * a + b) % MOD
@@ -143,12 +153,31 @@ def band_keys(sig: Column) -> Column:
     return F.array(*keys)
 
 
-def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) sharing at least one LSH band."""
+def minhash_candidate_pairs(
+    df: DataFrame, max_bucket: int | None = None, hash_mode: str = "portable"
+) -> DataFrame:
+    """(doc_a, doc_b) sharing at least one LSH band.
+
+    ``max_bucket`` drops band buckets with more than that many docs
+    before the self-join — the skew guard for boilerplate clusters,
+    whose pairwise candidates grow quadratically while carrying no
+    information (they are duplicates by definition; route them to a
+    cluster report instead of pairwise verification)."""
     sig = df.select(
         "doc_id",
-        F.posexplode(band_keys(minhash_signature(F.col("text")))).alias("band", "key"),
+        F.posexplode(
+            band_keys(minhash_signature(F.col("text"), hash_mode))
+        ).alias("band", "key"),
     ).filter(F.col("key") != "")  # docs with no shingles produce empty keys
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key")
+        sig = (
+            sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -159,12 +188,14 @@ def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
     )
 
 
-def verified_near_duplicates(df: DataFrame) -> DataFrame:
+def verified_near_duplicates(
+    df: DataFrame, max_bucket: int | None = None, hash_mode: str = "portable"
+) -> DataFrame:
     """Candidates verified by exact token-set Jaccard >= JACCARD_T:
     (doc_a, doc_b, jaccard).  Only candidate pairs re-join the token
     sets — the verification cost is proportional to candidates, not
     to |corpus|^2."""
-    pairs = minhash_candidate_pairs(df)
+    pairs = minhash_candidate_pairs(df, max_bucket=max_bucket, hash_mode=hash_mode)
     toksets = df.select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
     )
@@ -183,6 +214,22 @@ def verified_near_duplicates(df: DataFrame) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_near_duplicates(dedup_corpus(spark, sf_dir))
+
+
+def near_duplicate_pipeline(
+    df: DataFrame, max_bucket: int | None = 64, hash_mode: str = "native"
+) -> DataFrame:
+    """The production dedup composition: exact-dedup FIRST (byte-equal
+    texts collapse to one survivor via hash groupBy — cheap, shuffles
+    digests), then MinHash-LSH only over distinct texts.  This keeps
+    the expensive signature stage proportional to unique content, not
+    corpus size — on a 200x-replicated corpus it is ~200x less work,
+    and on real web data it removes the exact-copy mass (typically
+    30-60%) before the quadratic-risk stage."""
+    survivors = df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return verified_near_duplicates(
+        survivors.select("doc_id", "text"), max_bucket=max_bucket, hash_mode=hash_mode
+    )
 
 
 def _minhash_sql() -> str:
@@ -246,20 +293,44 @@ WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE /
 
 def simhash(col: Column) -> Column:
     """32-bit simhash over token hashes: bit b set iff the sum of
-    (+1 / -1) contributions of each token's bit b is positive."""
-    tok_hashes = F.transform(F.array_distinct(_tokens(col)), lambda t: char_hash(t))
+    (+1 / -1) contributions of each token's bit b is positive.
 
-    def mk(b):
-        return lambda acc, h: acc + F.when(F.shiftright(h, b) % 2 == 1, 1).otherwise(-1)
+    Single pass over the token array: the accumulator is a 32-wide
+    counter vector updated with zip_with, instead of 32 separate
+    aggregates re-scanning the tokens (32x less work per doc)."""
+    return _simhash_impl(col, "portable")
 
-    bits = []
-    for b in range(SIM_BITS):
-        contrib = F.aggregate(tok_hashes, F.lit(0).cast("long"), mk(b))
-        bits.append(F.when(contrib > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
-    total = bits[0]
-    for x in bits[1:]:
-        total = total + x
-    return total
+
+def simhash_native(col: Column) -> Column:
+    """simhash over xxhash64 token hashes — the scale path."""
+    return _simhash_impl(col, "native")
+
+
+def _simhash_impl(col: Column, hash_mode: str) -> Column:
+    tok_hashes = F.transform(
+        F.array_distinct(_tokens(col)), lambda t: _str_hash(t, hash_mode)
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIM_BITS)
+    # bit b extracted as floor(h / 2^b) % 2 — shiftright needs a
+    # literal amount, so the weight vector doubles as the divisor
+    weights = F.array(*[F.lit(2 ** b).cast("long") for b in range(SIM_BITS)])
+
+    def contribs(h: Column) -> Column:
+        return F.transform(
+            weights,
+            lambda w: F.when(F.floor(h / w).cast("long") % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        )
+
+    counts = F.aggregate(
+        tok_hashes, zeros, lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c)
+    )
+    return F.aggregate(
+        F.zip_with(counts, weights, lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -215,6 +215,60 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
             if elem_pred is not None:
                 add("items", node.keywords.get("items"), F.forall(e, elem_pred),
                     "an element fails the items subschema")
+        if node.items_tuple is not None:
+            # tuple form: element i checked only when present
+            # (reference keywords.py:239-247)
+            for i, child in enumerate(node.items_tuple):
+                cp = _subschema_pred_col(child, F.element_at(e, i + 1), dt.elementType)
+                if cp is None:
+                    continue
+                add("items", child.raw,
+                    F.when(F.size(e) > i, F.coalesce(cp, F.lit(False))).otherwise(F.lit(True)),
+                    f"element {i} fails its tuple subschema")
+            ai = node.additional_items
+            if ai is False:
+                n = len(node.items_tuple)
+                add("additionalItems", False, F.size(e) <= n, f"more than {n} elements")
+            elif ai is not None:
+                n = len(node.items_tuple)
+                extra = F.slice(e, n + 1, F.greatest(F.size(e) - n, F.lit(0)))
+                ep = _subschema_pred(ai, dt.elementType)
+                if ep is not None:
+                    add("additionalItems", ai.raw, F.forall(extra, ep),
+                        f"an element beyond {n} fails the additionalItems subschema")
+
+    # ---- nested objects over StructType ------------------------------------
+    if isinstance(dt, T.StructType):
+        sub_fields = {f.name: f.dataType for f in dt.fields}
+        if node.required:
+            # struct-field presence = non-null (SURVEY.md §7.4 #6)
+            for k in node.required:
+                pred = (
+                    e.getField(k).isNotNull() if k in sub_fields else F.when(e.isNotNull(), F.lit(False))
+                )
+                add("required", node.required, F.when(e.isNotNull(), pred),
+                    f"missing required field `{k}`")
+        for k, child in (node.properties or {}).items():
+            if k not in sub_fields:
+                continue
+            out.extend(
+                _compile_property(child, colname, e.getField(k), sub_fields[k],
+                                  prefix=f"{path}.{k}")
+            )
+        if node.dependencies:
+            for k in sorted(node.dependencies):
+                kind, payload = node.dependencies[k]
+                if kind != "list":
+                    continue
+                conj = F.lit(True)
+                for co in payload:
+                    conj = conj & (
+                        e.getField(co).isNotNull() if co in sub_fields else F.lit(False)
+                    )
+                guard = e.getField(k).isNotNull() if k in sub_fields else F.lit(False)
+                add("dependencies", node.keywords["dependencies"],
+                    F.when(e.isNotNull() & guard, conj).otherwise(F.lit(True)),
+                    f"`{k}` present but a dependent field is missing")
 
     # ---- object keywords over MapType (open objects) ----------------------
     if isinstance(dt, T.MapType):
@@ -374,11 +428,13 @@ def _format_pred(e: Column, fmt: str) -> Column:
 
 def _pandas_match_pred(e: Column, pattern: str) -> Column:
     """Vectorized pandas-UDF fallback for Python-only regex syntax."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("boolean")
-    def _match(s: pd.Series) -> pd.Series:
+    # NB: no type hints — `from __future__ import annotations` turns
+    # them into strings pyspark can't resolve with pandas imported
+    # locally; the explicit SCALAR type is equivalent.
+    @pandas_udf("boolean", PandasUDFType.SCALAR)
+    def _match(s):
         rx = re.compile(pattern)
         return s.str.match(rx).astype("boolean")
 
