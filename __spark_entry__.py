@@ -24,7 +24,7 @@ from xjs.flagship import (  # noqa: E402
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
 from xjs.checks import drift, monotonicity, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import dedup, multimodal, similarity, text  # noqa: E402
-from xjs import dynamic_spark  # noqa: E402
+from xjs import dynamic_spark, reports  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic mode (Arrow pandas-UDF over JSON strings) + MapType static
         "dynamic_json_props": dynamic_spark.q_dynamic_props,
         "static_map_props": dynamic_spark.q_static_props_map,
+        # reports: top-k + rollup
+        "report_worst_urls": reports.worst_urls,
+        "report_verdict_rollup": reports.verdict_rollup,
     }
 
 
@@ -89,4 +92,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
         "dynamic_json_props": dynamic_spark.ORACLE_DYNAMIC_PROPS_SQL,
         "static_map_props": dynamic_spark.ORACLE_STATIC_PROPS_MAP_SQL,
+        "report_worst_urls": reports.oracle_worst_urls_sql(
+            oracle_violations_sql(DUCKDB_CTE)
+        ),
+        "report_verdict_rollup": reports.oracle_verdict_rollup_sql(
+            oracle_verdicts_sql(DUCKDB_CTE)
+        ),
     }

@@ -1,0 +1,126 @@
+"""Property-based differential parity: hypothesis-generated schemas ×
+documents, xjs dynamic evaluator vs the reference oracle.
+
+Generation avoids the reference's crash/divergence surface (SURVEY.md
+§2.7/§4.2): no maxLength/format (broken), no empty property
+subschemas under additionalProperties (codegen crash), no bools in
+documents (isinstance drift).
+"""
+
+import json
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from xjs import build_evaluator
+
+ejs = pytest.importorskip("extendedjsonschema")
+
+SAFE_PATTERNS = ["a+b", "^[a-z]+$", "x.y", "^q"]
+KEYS = ["a", "b", "c", "xa", "xb"]
+
+scalar_schema = st.one_of(
+    st.builds(lambda t: {"type": t}, st.sampled_from(["integer", "number", "string", "array", "object", "null"])),
+    st.builds(lambda v: {"minimum": v}, st.integers(-5, 5)),
+    st.builds(lambda v: {"maximum": v}, st.integers(-5, 5)),
+    st.builds(lambda v: {"minLength": v}, st.integers(0, 5)),
+    st.builds(lambda p: {"pattern": p}, st.sampled_from(SAFE_PATTERNS)),
+    st.builds(lambda v: {"multipleOf": v}, st.integers(1, 4)),
+    st.builds(lambda v: {"enum": v}, st.lists(
+        st.one_of(st.integers(-3, 3), st.sampled_from(["a", "ab"])), min_size=1, max_size=4, unique_by=repr)),
+    st.builds(lambda v: {"minItems": v}, st.integers(0, 3)),
+    st.builds(lambda v: {"maxItems": v}, st.integers(0, 4)),
+    st.just({"uniqueItems": True}),
+    st.builds(lambda ks: {"required": ks}, st.lists(st.sampled_from(KEYS), min_size=1, max_size=3, unique=True)),
+    st.builds(lambda v: {"minProperties": v}, st.integers(0, 3)),
+)
+
+
+def merge(ds):
+    out = {}
+    for d in ds:
+        out.update(d)
+    return out
+
+
+def schemas(depth=2):
+    base = st.builds(merge, st.lists(scalar_schema, min_size=1, max_size=3))
+    if depth == 0:
+        return base
+    sub = schemas(depth - 1)
+    # NOTE: anyOf/oneOf/not children must be NON-composite here — the
+    # reference's error rerouting breaks for nested composites (inner
+    # errors leak past the has_errors/success flag; divergence pinned
+    # in test_nested_composition_divergence below).  allOf children and
+    # items/properties recursion thread errors correctly, so they take
+    # full subschemas.
+    composite = st.one_of(
+        st.builds(lambda ss: {"allOf": ss}, st.lists(sub, min_size=1, max_size=2)),
+        st.builds(lambda ss: {"anyOf": ss}, st.lists(base, min_size=1, max_size=2)),
+        st.builds(lambda ss: {"oneOf": ss}, st.lists(base, min_size=1, max_size=2)),
+        st.builds(lambda s: {"not": s}, base),
+        st.builds(lambda s: {"items": s}, sub),
+        st.builds(lambda kv: {"properties": kv}, st.dictionaries(st.sampled_from(KEYS), sub, min_size=1, max_size=2)),
+        st.builds(lambda kv: {"patternProperties": {"^x": kv}}, sub),
+        st.builds(lambda s: {"dependencies": {"a": s}}, st.one_of(
+            base, st.lists(st.sampled_from(KEYS), min_size=1, max_size=2, unique=True))),
+    )
+    return st.one_of(base, composite, st.builds(merge, st.lists(st.one_of(base, composite), min_size=1, max_size=2)))
+
+
+json_values = st.recursive(
+    st.one_of(st.none(), st.integers(-5, 10), st.floats(allow_nan=False, allow_infinity=False, width=16),
+              st.sampled_from(["", "a", "ab", "aab", "xxaab", "xq"])),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.sampled_from(KEYS), children, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+def norm(errors):
+    if errors is None:
+        return []
+    return sorted(
+        ({"path": e["path"], "keyword": e["keyword"], "value": e["value"]} for e in errors),
+        key=lambda e: json.dumps(e, default=str),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(schema=schemas(), doc=json_values)
+def test_property_parity(schema, doc):
+    try:
+        ref = ejs.Validator(schema)
+    except Exception:
+        # schema the reference cannot compile (its own codegen bugs) —
+        # out of scope for the differential property
+        return
+    try:
+        expected = norm(ref.run(doc))
+    except Exception:
+        return  # reference runtime crash (e.g. maxLength-like paths)
+    mine = build_evaluator(schema)
+    assert norm(mine(doc)) == expected, f"schema={schema} doc={doc!r}"
+
+
+def test_nested_composition_divergence():
+    """Documented divergence (found by this property test): the
+    reference's composition keywords reroute child errors into a flag
+    (keywords.py:135,170,201), but a NESTED composite re-compiles its
+    own children with default error routing — inner errors leak into
+    the output and the outer anyOf never fires.  xjs implements the
+    intended semantics: the failing anyOf emits its own single error."""
+    schema = {"anyOf": [{"allOf": [{"type": "integer"}]}]}
+    ref = ejs.Validator(schema)
+    # reference: the LEAKED inner error, no anyOf error
+    assert norm(ref.run(None)) == [
+        {"path": [], "keyword": "type", "value": "integer"}
+    ]
+    # xjs: intended anyOf semantics
+    assert build_evaluator(schema)(None) == [
+        {"path": [], "keyword": "anyOf", "value": [{"allOf": [{"type": "integer"}]}]}
+    ]
+    # and on passing data both agree
+    assert norm(ref.run(3)) == build_evaluator(schema)(3) == []

@@ -1,0 +1,68 @@
+"""Reporting queries over validation output: top-k worst offenders
+(orderBy + limit) and verdict rollups (grouping sets) — SURVEY.md §2.9
+rows "Top-k / sort / limit" and "Grouping sets / cube / rollup".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xjs.flagship import compile_plan
+from xjs.runtime import verdicts, violations
+from xjs.sources.webpages import webpages
+
+TOP_K = 20
+
+
+def worst_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k urls by violation count (deterministic tiebreak on url).
+    At scale: the groupBy shuffles only violating urls (a small
+    fraction), and the top-k is a TakeOrdered — no global sort."""
+    wp = webpages(spark, sf_dir)
+    v = violations(wp, compile_plan(wp))
+    return (
+        v.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy(F.desc("n_violations"), F.asc("id"))
+        .limit(TOP_K)
+    )
+
+
+def oracle_worst_urls_sql(violations_sql: str) -> str:
+    return f"""
+WITH v AS ({violations_sql})
+SELECT id, COUNT(*) AS n_violations
+FROM v GROUP BY id
+ORDER BY n_violations DESC, id ASC
+LIMIT {TOP_K}
+"""
+
+
+def verdict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation totals at (partition, check), (partition) and ()
+    grain via ROLLUP — the roll-up verdict report.  Null grouping
+    columns are labeled 'ALL' so the output is stable for hashing."""
+    wp = webpages(spark, sf_dir)
+    vd = verdicts(wp, compile_plan(wp))
+    rolled = vd.rollup("partition_id", "check_name").agg(
+        F.sum("n_violations").alias("n_violations"),
+        F.sum("n_checked").alias("n_checked"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("partition_id").cast("string"), F.lit("ALL")).alias("partition"),
+        F.coalesce(F.col("check_name"), F.lit("ALL")).alias("check_name"),
+        "n_violations",
+        "n_checked",
+    )
+
+
+def oracle_verdict_rollup_sql(verdicts_sql: str) -> str:
+    return f"""
+WITH vd AS ({verdicts_sql})
+SELECT COALESCE(CAST(partition_id AS VARCHAR), 'ALL') AS partition,
+       COALESCE(check_name, 'ALL') AS check_name,
+       CAST(SUM(n_violations) AS BIGINT) AS n_violations,
+       CAST(SUM(n_checked) AS BIGINT) AS n_checked
+FROM vd GROUP BY ROLLUP (partition_id, check_name)
+"""
