@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine constraint classes (north_star)
         "stats_single_pass": lambda s, d: stats.webpages_stats(s, d, mode="exact"),
         "uniqueness_url": uniqueness.webpages_duplicate_urls,
+        "uniqueness_evidence": uniqueness.webpages_duplicate_evidence,
         "referential_domains": referential.webpages_referential_violations,
         "referential_orders": referential.orders_missing_customers,
         "drift_histogram": drift.webpages_drift_histogram,
@@ -73,6 +74,7 @@ def oracle_sql() -> dict[str, str]:
         "webpages_verdicts": oracle_verdicts_sql(DUCKDB_CTE),
         "stats_single_pass": stats.oracle_webpages_stats_sql(DUCKDB_CTE),
         "uniqueness_url": uniqueness.oracle_duplicate_urls_sql(DUCKDB_CTE),
+        "uniqueness_evidence": uniqueness.oracle_duplicate_evidence_sql(DUCKDB_CTE),
         "referential_domains": referential.oracle_referential_sql(DUCKDB_CTE),
         "referential_orders": referential.ORACLE_ORDERS_MISSING_SQL,
         "drift_histogram": drift.oracle_drift_histogram_sql(DUCKDB_CTE),

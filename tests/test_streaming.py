@@ -40,6 +40,57 @@ def test_stream_equals_batch(spark, sf_dir, tmp):
     assert got.exceptAll(expected.select(got.columns)).count() == 0
 
 
+def test_stateful_totals_survive_restart(spark, sf_dir, tmp):
+    """applyInPandasWithState: cumulative per-source totals persist in
+    the streaming checkpoint across two separate availableNow runs."""
+    from xjs.streaming import stateful_entity_totals
+
+    wp = webpages(spark, sf_dir)
+    plan = compile_plan(wp)
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(wp.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/sin")
+        )
+        out = stateful_entity_totals(stream, plan, "source")
+        totals = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                totals[r["entity"]] = (r["n_docs"], r["n_violations"])
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/sckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return totals
+
+    wp.filter(F.col("partition_id") < 8).write.parquet(f"{tmp}/sin/b1")
+    first = run_once("st1")
+    # restart with more data: totals must include the first run's state
+    wp.filter(F.col("partition_id") >= 8).write.parquet(f"{tmp}/sin/b2")
+    second = run_once("st2")
+
+    full = {
+        r["source"]: (r["n"], r["v"])
+        for r in wp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~plan.pass_all()).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    for src, (n, v) in second.items():
+        assert (n, v) == full[src], f"{src}: {(n, v)} vs {full[src]}"
+    assert sum(n for n, _ in first.values()) < sum(n for n, _ in full.values())
+
+
 def test_windowed_counts_with_watermark(spark, sf_dir, tmp):
     wp = webpages(spark, sf_dir)
     plan = compile_plan(wp)

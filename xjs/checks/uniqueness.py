@@ -64,6 +64,48 @@ def duplicate_url_sample(df: DataFrame, key: str = "url", n_salts: int = 64) -> 
     )
 
 
+def duplicate_key_evidence(
+    df: DataFrame, key: str, order_col: str, per_key: int = 3, n_salts: int = 64
+) -> DataFrame:
+    """north_star: "violations join back to sample offending rows" —
+    each duplicated key joined back to its first ``per_key`` rows.
+
+    The join shuffles on the key; the row_number window caps the
+    evidence per key so a million-copy hot url contributes ``per_key``
+    rows, not a million (the skew guard on the OUTPUT side)."""
+    from pyspark.sql.window import Window
+
+    dups = duplicate_keys(df, key, n_salts=n_salts)
+    w = Window.partitionBy(key).orderBy(order_col)
+    return (
+        df.join(dups, key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_key)
+        .select(key, "n_rows", order_col, "partition_id")
+    )
+
+
+def webpages_duplicate_evidence(spark, sf_dir: str) -> DataFrame:
+    from xjs.sources.webpages import webpages
+
+    return duplicate_key_evidence(webpages(spark, sf_dir), "url", "doc_id")
+
+
+def oracle_duplicate_evidence_sql(cte: str) -> str:
+    return """
+WITH {cte},
+dups AS (
+    SELECT url, COUNT(*) AS n_rows FROM webpages GROUP BY url HAVING COUNT(*) >= 2
+),
+ev AS (
+    SELECT w.url, d.n_rows, w.doc_id, w.partition_id,
+           ROW_NUMBER() OVER (PARTITION BY w.url ORDER BY w.doc_id) AS rn
+    FROM webpages w JOIN dups d ON w.url = d.url
+)
+SELECT url, n_rows, doc_id, partition_id FROM ev WHERE rn <= 3
+""".format(cte=cte)
+
+
 def webpages_duplicate_urls(spark, sf_dir: str) -> DataFrame:
     from xjs.sources.webpages import webpages
 

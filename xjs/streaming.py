@@ -49,6 +49,45 @@ def windowed_violation_counts(
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def stateful_entity_totals(stream_df: DataFrame, plan: CheckPlan, entity_col: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: cumulative
+    (n_docs, n_violations) per entity, maintained across micro-batches
+    AND across restarts (state lives in the streaming checkpoint).
+
+    The per-row work (pass_all) is still the compiled codegen
+    predicate — only the tiny per-entity counter state goes through
+    Python, in Arrow batches grouped by entity.  State size is O(1)
+    per entity; a watermark-based timeout would bound entity
+    cardinality in a production run."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    flagged = stream_df.select(
+        F.col(entity_col).alias("entity"),
+        (~plan.pass_all()).cast("long").alias("fail"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_docs, n_viol = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_viol += int(pdf["fail"].sum())
+        state.update((n_docs, n_viol))
+        yield pd.DataFrame(
+            {"entity": [key[0]], "n_docs": [n_docs], "n_violations": [n_viol]}
+        )
+
+    return flagged.groupBy("entity").applyInPandasWithState(
+        update,
+        outputStructType="entity string, n_docs long, n_violations long",
+        stateStructType="n_docs long, n_violations long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
