@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_bruteforce": similarity.brute_force_topk,
         "similarity_lsh_buckets": similarity.lsh_buckets,
         "similarity_lsh_topk": similarity.lsh_topk,
+        "similarity_ivf_assign": similarity.ivf_assignments,
+        "similarity_ivf_topk": similarity.ivf_topk,
         "text_quality": text.q_text_quality,
         "text_langid": text.q_text_langid,
         "text_fingerprint": text.q_text_fingerprint,
@@ -88,6 +90,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_bruteforce": similarity.oracle_brute_force_sql(),
         "similarity_lsh_buckets": similarity.oracle_lsh_buckets_sql(),
         "similarity_lsh_topk": similarity.oracle_lsh_topk_sql(),
+        "similarity_ivf_assign": similarity.oracle_ivf_assignments_sql(),
+        "similarity_ivf_topk": similarity.oracle_ivf_topk_sql(),
         "text_quality": text.ORACLE_TEXT_QUALITY_SQL,
         "text_langid": text.oracle_text_langid_sql(),
         "text_fingerprint": text.oracle_text_fingerprint_sql(),

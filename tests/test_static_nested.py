@@ -86,6 +86,22 @@ def test_struct_dependencies(spark):
     assert 3 not in got
 
 
+def test_regex_unicode_parity(spark):
+    """Java \\d is ASCII-only by default; Python's is unicode.  The
+    static translation prepends (?U) so both backends agree on
+    non-ASCII digits."""
+    from xjs import build_evaluator
+
+    docs = ["٣٤", "34", "x4"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)], "id long, s string")
+    schema = {"properties": {"s": {"pattern": r"\d+$"}}}
+    plan = compile_static(schema, df.schema, id_col="id", partition_col=None)
+    static_fail = {r["id"] for r in violations(df, plan).collect()}
+    ev = build_evaluator({"pattern": r"\d+$"})
+    dynamic_fail = {i for i, s in enumerate(docs) if ev(s)}
+    assert static_fail == dynamic_fail == {2}
+
+
 def test_python_only_regex_falls_back_to_pandas(spark):
     df = spark.createDataFrame(
         [(1, "abcX"), (2, "abX"), (3, None)], "id long, s string"

@@ -122,8 +122,9 @@ CHECKERS = {
 
 # --- Java-regex translations for the static (Catalyst rlike) backend ---
 # re.match(p)  ⇔  rlike('^(?:p)');  Python \Z ⇔ Java \z.
+# (?U): Python \d matches unicode digits; Java needs the flag for parity
 JAVA_DATETIME_RLIKE = (
-    r"^\d{4}-[01]\d-[0-3]\d(t|T)[0-2]\d:[0-5]\d:[0-5]\d(?:\.\d+)?"
+    r"(?U)^\d{4}-[01]\d-[0-3]\d(t|T)[0-2]\d:[0-5]\d:[0-5]\d(?:\.\d+)?"
     r"(?:[+-][0-2]\d:[0-5]\d|[+-][0-2]\d[0-5]\d|z|Z)$"
 )
 JAVA_BAD_EMAIL_NAME = r"^(?:(^[^a-zA-Z0-9]){1}|([^a-zA-Z0-9._+-])+|([._\-+]{2,})|([^a-zA-Z0-9]$){1})"

@@ -125,6 +125,94 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF: k-means-lite centroids -> cell assignment -> in-cell search.
+# The production ANN shape: assign (narrow, broadcast centroids) ->
+# co-partition by cell -> local rank.  Deterministic: seeds are the
+# first N_CELLS vectors, Lloyd updates round to 6dp so the DuckDB
+# oracle reproduces assignments exactly.
+# --------------------------------------------------------------------------
+
+N_CELLS = 8
+KMEANS_ITERS = 2
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, emb, cluster): nearest centroid, ties to lowest id."""
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "emb", "cluster", _dist2(F.col("emb"), F.col("centroid")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "emb", "cluster")
+    )
+
+
+def kmeans_centroids(emb: DataFrame, n_cells: int = N_CELLS, iters: int = KMEANS_ITERS) -> DataFrame:
+    """(cluster, centroid) after ``iters`` Lloyd steps from
+    first-vectors seeds.  Means recompute via posexplode ->
+    groupBy(cluster, pos) -> reassemble (sort_array on (pos, val)),
+    rounded to 6dp for cross-engine determinism."""
+    cent = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("emb").alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = _assign(emb, cent)
+        expl = assigned.select("cluster", F.posexplode("emb").alias("pos", "val"))
+        means = expl.groupBy("cluster", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
+        cent = (
+            means.groupBy("cluster")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster",
+                F.transform(F.col("pm"), lambda x: x.getField("m")).alias("centroid"),
+            )
+        )
+    return cent
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    cent = kmeans_centroids(emb)
+    return _assign(emb, cent).select("vec_id", "cluster")
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k searching only the query's IVF cell."""
+    emb = load_embeddings(spark, sf_dir)
+    cent = kmeans_centroids(emb)
+    assigned = _assign(emb, cent)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("cluster").alias("qc"),
+    )
+    cands = F.broadcast(q).join(
+        assigned, (F.col("cluster") == F.col("qc")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # DuckDB oracles (identical arithmetic: sequential double dot products)
 # --------------------------------------------------------------------------
 
@@ -173,6 +261,74 @@ def oracle_lsh_buckets_sql() -> str:
     return f"""
 WITH {_EMB_CTE.strip()}
 SELECT vec_id, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb
+"""
+
+
+_D2_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {d} + 1), "
+    "i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]))), (x, y) -> x + y)"
+).format(d=DIM)
+
+
+def _ivf_cte() -> str:
+    """CTE chain: seeds -> KMEANS_ITERS Lloyd rounds -> final assign."""
+    parts = [
+        _EMB_CTE.strip(),
+        f"cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, emb AS centroid FROM emb WHERE vec_id < {N_CELLS})",
+    ]
+    prev = "cent0"
+    for it in range(KMEANS_ITERS):
+        a, c = f"asg{it}", f"cent{it + 1}"
+        parts.append(f"""
+{a} AS (
+    SELECT vec_id, emb, cluster FROM (
+        SELECT e.vec_id, e.emb, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_D2_SQL} ASC, c.cluster ASC) AS rn
+        FROM emb e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)""".strip())
+        parts.append(f"""
+{c} AS (
+    SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT cluster, pos, ROUND(AVG(val), 6) AS m
+        FROM (SELECT cluster, UNNEST(emb) AS val, UNNEST(RANGE(1, {DIM} + 1)) AS pos FROM {a})
+        GROUP BY cluster, pos
+    ) GROUP BY cluster
+)""".strip())
+        prev = c
+    parts.append(f"""
+asg AS (
+    SELECT vec_id, emb, cluster FROM (
+        SELECT e.vec_id, e.emb, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_D2_SQL} ASC, c.cluster ASC) AS rn
+        FROM emb e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)""".strip())
+    return ",\n".join(parts)
+
+
+def oracle_ivf_assignments_sql() -> str:
+    return f"WITH {_ivf_cte()} SELECT vec_id, cluster FROM asg"
+
+
+def oracle_ivf_topk_sql() -> str:
+    return f"""
+WITH {_ivf_cte()},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND({_DOT_SQL} /
+                 (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, {DIM}+1), i -> a.emb[i]*a.emb[i])), (x,y)->x+y)) *
+                  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, {DIM}+1), i -> b.emb[i]*b.emb[i])), (x,y)->x+y))), 4) AS score
+    FROM asg a JOIN asg b
+      ON a.vec_id < {N_QUERIES} AND b.cluster = a.cluster AND b.vec_id <> a.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
 """
 
 

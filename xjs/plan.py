@@ -183,7 +183,10 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
             pred = _pandas_match_pred(e, raw)
             add("pattern", raw, pred, f"does not match /{raw}/", uses_python=True)
         else:
-            add("pattern", raw, e.rlike(f"^(?:{raw})"), f"does not match /{raw}/")
+            # (?U) = Java UNICODE_CHARACTER_CLASS: makes \d/\w/\b match
+            # Python re's default unicode semantics (parity-tested on
+            # non-ASCII digits in tests/test_static_nested.py)
+            add("pattern", raw, e.rlike(f"(?U)^(?:{raw})"), f"does not match /{raw}/")
     if node.format is not None and is_stringish:
         add("format", node.format, _format_pred(e, node.format), f"not a valid {node.format}")
 
@@ -375,7 +378,8 @@ def _subschema_pred_col(node: SchemaNode, e: Column, dt: T.DataType) -> Optional
 
 def _subschema_pred(node: SchemaNode, elem_dt: T.DataType):
     """Element-level lambda for forall()."""
-    probe = _compile_property(node, "_elem", F.lit(None), elem_dt)
+    # typed null: getField/getItem on an untyped VOID literal fails analysis
+    probe = _compile_property(node, "_elem", F.lit(None).cast(elem_dt), elem_dt)
     if not probe:
         return None
 

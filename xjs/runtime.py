@@ -52,6 +52,19 @@ def violations(df: DataFrame, plan: CheckPlan, keep_cols=()) -> DataFrame:
         if plan.partition_col
         else F.spark_partition_id()
     )
+    if not plan.checks:
+        # everything statically satisfied: an empty, correctly-typed result
+        return (
+            df.limit(0).select(
+                F.col(plan.id_col).alias("id"),
+                F.lit("").alias("path"),
+                F.lit("").alias("keyword"),
+                F.lit("").alias("value_json"),
+                F.lit("").alias("reason"),
+                F.lit(0).alias("partition_id"),
+                *[F.col(c) for c in keep_cols],
+            )
+        )
     # Pre-filter: rows passing every check (the overwhelming majority)
     # are eliminated by a pure codegen'd predicate BEFORE the
     # array-of-structs construction + Generate, which are object-heavy
