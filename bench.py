@@ -24,16 +24,34 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def materialize(spark, sf_dir: str, factor: int) -> str:
+    """Write the scaled web-pages table to parquet once (cached across
+    bench runs) so every query measures scan + compute — the
+    production shape — instead of re-deriving the table inline."""
+    import re
+
+    from xjs.sources.webpages import webpages_scaled
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/").split("/")[-1])
+    path = os.path.join(REPO, ".tmp", f"bench-wp-{tag}-f{factor}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        webpages_scaled(spark, sf_dir, factor).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def build_queries(spark, sf_dir: str, factor: int):
-    """name -> (df_factory, row_source_count) for the headline set."""
+    """name -> df_factory for the headline set."""
     from xjs.checks import drift, monotonicity, referential, stats, uniqueness
     from xjs.flagship import compile_plan
     from xjs.pipeline import dedup, similarity, text
     from xjs.runtime import verdicts, violations
-    from xjs.sources.webpages import webpages_scaled
+
+    wp_path = materialize(spark, sf_dir, factor)
 
     def wp():
-        return webpages_scaled(spark, sf_dir, factor)
+        return spark.read.parquet(wp_path)
 
     def q_violations():
         w = wp()
