@@ -23,7 +23,7 @@ from xjs.flagship import (  # noqa: E402
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
 from xjs.checks import drift, monotonicity, referential, stats, uniqueness  # noqa: E402
-from xjs.pipeline import dedup, multimodal, similarity, text  # noqa: E402
+from xjs.pipeline import clusters, dedup, multimodal, select, sessions, similarity, text  # noqa: E402
 from xjs import dynamic_spark, reports  # noqa: E402
 
 
@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reports: top-k + rollup
         "report_worst_urls": reports.worst_urls,
         "report_verdict_rollup": reports.verdict_rollup,
+        # pipeline compositions
+        "dedup_clusters": clusters.q_dedup_clusters,
+        "select_training": select.q_select_training,
+        "sessionize_events": sessions.q_sessionize_events,
     }
 
 
@@ -104,4 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "report_verdict_rollup": reports.oracle_verdict_rollup_sql(
             oracle_verdicts_sql(DUCKDB_CTE)
         ),
+        "dedup_clusters": clusters.oracle_dedup_clusters_sql(),
+        "select_training": select.oracle_select_training_sql(),
+        "sessionize_events": sessions.ORACLE_SESSIONIZE_SQL,
     }

@@ -1,0 +1,45 @@
+"""Pipeline compositions: cluster/survivor selection, training-set
+selection, sessionization."""
+
+from pyspark.sql import functions as F
+
+from xjs.pipeline import clusters, select, sessions
+from xjs.pipeline.dedup import dedup_corpus, verified_near_duplicates
+
+
+def test_clusters_group_injected_duplicates(spark, sf_dir):
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = verified_near_duplicates(corpus)
+    cc = {r["doc_id"]: r["cluster"] for r in clusters.connected_components(pairs).collect()}
+    # doc 0, its exact copy (2M) and near copy (1M) form one cluster
+    # rooted at 0
+    assert cc[0] == cc[1_000_000] == cc[2_000_000] == 0
+    # survivors: exactly one keep per cluster
+    surv = clusters.dedup_survivors(corpus, pairs).collect()
+    by_cluster = {}
+    for r in surv:
+        by_cluster.setdefault(r["cluster"], []).append(r["keep"])
+    for c, keeps in by_cluster.items():
+        assert sum(keeps) == 1
+
+
+def test_select_training_gates(spark, sf_dir):
+    out = select.q_select_training(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_tokens"] >= select.MIN_TOKENS
+        assert r["stopword_ratio"] >= select.MIN_STOPWORD_RATIO
+    # exact-dup survivors only: no doc_id from the +2M replica range
+    assert all(r["doc_id"] < 2_000_000 for r in out)
+
+
+def test_sessionize(spark, sf_dir):
+    out = sessions.q_sessionize_events(spark, sf_dir)
+    rows = out.collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+    # session ids are dense per user starting at 0
+    first = min(r["session_id"] for r in rows)
+    assert first == 0
