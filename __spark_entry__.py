@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_histogram": drift.webpages_drift_histogram,
         "drift_psi": drift.webpages_drift_psi,
         "ts_monotonicity_webpages": monotonicity.webpages_ts_monotonicity,
+        "ts_range_webpages": monotonicity.webpages_ts_range,
         "ts_monotonicity_events": monotonicity.events_ts_monotonicity,
         # training-data pipeline ops
         "dedup_exact": dedup.q_dedup_exact,
@@ -86,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_histogram": drift.oracle_drift_histogram_sql(DUCKDB_CTE),
         "drift_psi": drift.oracle_drift_psi_sql(DUCKDB_CTE),
         "ts_monotonicity_webpages": monotonicity.oracle_webpages_monotonicity_sql(DUCKDB_CTE),
+        "ts_range_webpages": monotonicity.oracle_ts_range_sql(DUCKDB_CTE),
         "ts_monotonicity_events": monotonicity.ORACLE_EVENTS_MONOTONICITY_SQL,
         "dedup_exact": dedup.ORACLE_DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": dedup.oracle_dedup_minhash_sql(),

@@ -94,6 +94,29 @@ def ks(part_hist: DataFrame, base_hist: DataFrame, partition_col: str,
     )
 
 
+# --- baseline snapshot persistence ------------------------------------------
+
+def write_baseline(hist: DataFrame, path: str) -> None:
+    """Checkpoint a histogram as the drift baseline (parquet; Iceberg
+    table in production — same shape)."""
+    hist.write.mode("overwrite").parquet(path)
+
+
+def read_baseline(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def psi_vs_baseline(df: DataFrame, value, partition_col: str, baseline_path: str,
+                    lo: float, hi: float, n_buckets: int) -> DataFrame:
+    """PSI of the current table's per-partition distributions against a
+    previously checkpointed baseline snapshot."""
+    h = histogram(df, value, partition_col, lo, hi, n_buckets)
+    base = read_baseline(df.sparkSession, baseline_path).groupBy("bucket").agg(
+        F.sum("n").alias("n")
+    )
+    return psi(h, base, partition_col, n_buckets)
+
+
 # --- flagship queries -------------------------------------------------------
 
 TEXT_LEN_LO, TEXT_LEN_HI, N_BUCKETS = 0.0, 640.0, 32

@@ -32,6 +32,41 @@ def out_of_order(df: DataFrame, entity: str, order_col: str, ts_col: str) -> Dat
     )
 
 
+def ts_range_violations(df: DataFrame, ts_col: str, lo: str, hi: str,
+                        id_col: str) -> DataFrame:
+    """(id, ts, reason) — rows whose timestamp falls outside [lo, hi).
+    A pure pushdown-able filter (the north_star's warc_ts range check);
+    Iceberg partition pruning on days(ts) makes this a metadata-only
+    operation for fully-out-of-range partitions."""
+    t = F.col(ts_col)
+    return df.filter((t < F.lit(lo).cast("timestamp")) | (t >= F.lit(hi).cast("timestamp"))).select(
+        F.col(id_col).alias("id"),
+        t.alias("ts"),
+        F.when(t < F.lit(lo).cast("timestamp"), F.lit("before range"))
+        .otherwise(F.lit("after range"))
+        .alias("reason"),
+    )
+
+
+TS_LO, TS_HI = "2024-01-01 00:00:00", "2025-01-01 00:00:00"
+
+
+def webpages_ts_range(spark, sf_dir: str) -> DataFrame:
+    from xjs.sources.webpages import webpages
+
+    return ts_range_violations(webpages(spark, sf_dir), "warc_ts", TS_LO, TS_HI, "url")
+
+
+def oracle_ts_range_sql(cte: str) -> str:
+    return f"""
+WITH {cte}
+SELECT url AS id, warc_ts AS ts,
+       CASE WHEN warc_ts < TIMESTAMP '{TS_LO}' THEN 'before range' ELSE 'after range' END AS reason
+FROM webpages
+WHERE warc_ts < TIMESTAMP '{TS_LO}' OR warc_ts >= TIMESTAMP '{TS_HI}'
+"""
+
+
 def webpages_ts_monotonicity(spark, sf_dir: str) -> DataFrame:
     """Per-source warc_ts monotonicity over the crawl order (doc_id)."""
     from xjs.sources.webpages import webpages
