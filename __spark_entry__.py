@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic mode (Arrow pandas-UDF over JSON strings) + MapType static
         "dynamic_json_props": dynamic_spark.q_dynamic_props,
         "static_map_props": dynamic_spark.q_static_props_map,
+        "static_composition": dynamic_spark.q_static_composition,
         # reports: top-k + rollup
         "report_worst_urls": reports.worst_urls,
         "report_verdict_rollup": reports.verdict_rollup,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
         "dynamic_json_props": dynamic_spark.ORACLE_DYNAMIC_PROPS_SQL,
         "static_map_props": dynamic_spark.ORACLE_STATIC_PROPS_MAP_SQL,
+        "static_composition": dynamic_spark.ORACLE_STATIC_COMPOSITION_SQL,
         "report_worst_urls": reports.oracle_worst_urls_sql(
             oracle_violations_sql(DUCKDB_CTE)
         ),

@@ -108,6 +108,14 @@ def build_queries(spark, sf_dir: str, factor: int):
     def q_similarity():
         return similarity.brute_force_topk(spark, sf_dir)
 
+    def q_dynamic_udf():
+        # the deliberate slow path: Arrow pandas-UDF JSON validation;
+        # measured so the static-vs-dynamic cost ratio stays visible
+        from xjs.dynamic_spark import PROPS_SCHEMA, dynamic_violations
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return dynamic_violations(ev, PROPS_SCHEMA, "props", "event_id")
+
     return {
         "webpages_violations": q_violations,
         "webpages_verdicts": q_verdicts,
@@ -120,6 +128,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
         "similarity_topk": q_similarity,
+        "dynamic_json_udf": q_dynamic_udf,
     }
 
 

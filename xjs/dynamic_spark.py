@@ -113,6 +113,56 @@ FROM e WHERE k % 3 <> 0
 """
 
 
+# --- composition keywords as a static oracle-checked query -----------------
+
+COMPOSITION_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "n_chars": {
+            # anyOf: short docs OR round hundreds
+            "anyOf": [{"maximum": 200}, {"multipleOf": 100}],
+        },
+        "doc_id": {
+            # oneOf: exactly one of (small id) xor (multiple of 3)
+            "oneOf": [{"maximum": 100}, {"multipleOf": 3}],
+        },
+    },
+}
+
+
+def q_static_composition(spark, sf_dir: str) -> DataFrame:
+    """allOf/anyOf/oneOf predicate algebra compiled statically over the
+    documents table."""
+    from xjs.plan import compile_static
+    from xjs.runtime import violations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars",
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias("partition_id"),
+    )
+    plan = compile_static(
+        COMPOSITION_SCHEMA, d.schema, id_col="doc_id", partition_col="partition_id"
+    )
+    return violations(d, plan)
+
+
+ORACLE_STATIC_COMPOSITION_SQL = """
+WITH d AS (
+    SELECT doc_id, n_chars, CAST(doc_id % 16 AS INTEGER) AS partition_id FROM documents
+)
+SELECT doc_id AS id, 'n_chars' AS path, 'anyOf' AS keyword,
+       '[{"maximum": 200}, {"multipleOf": 100}]' AS value_json,
+       'no subschema passes' AS reason, partition_id
+FROM d WHERE NOT (n_chars <= 200 OR n_chars % 100 = 0)
+UNION ALL
+SELECT doc_id AS id, 'doc_id' AS path, 'oneOf' AS keyword,
+       '[{"maximum": 100}, {"multipleOf": 3}]' AS value_json,
+       'subschema pass count != 1' AS reason, partition_id
+FROM d WHERE (CASE WHEN doc_id <= 100 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) <> 1
+"""
+
+
 # --- static MapType mode: open objects as map<string,long> columns --------
 
 MAP_PROPS_SCHEMA = {
