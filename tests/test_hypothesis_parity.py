@@ -88,7 +88,7 @@ def norm(errors):
     )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(schema=schemas(), doc=json_values)
 def test_property_parity(schema, doc):
     try:

@@ -91,7 +91,7 @@ def _sanitize(schema):
 
 
 @pytest.mark.usefixtures("spark")
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=25, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
 @given(schema=schemas, data=rows)
 def test_static_equals_dynamic(spark, schema, data):
