@@ -173,9 +173,58 @@ def main() -> None:
                 "factor": factor,
                 "cpus": cpus,
                 "docs_per_sec_flagship": flagship_dps,
+                **_deltas_vs_previous_round(timings, total),
             }
         )
     )
+
+
+def _deltas_vs_previous_round(timings: dict, total: float) -> dict:
+    """Per-query regression tracking: seconds delta vs the newest
+    BENCH_r{N}.json in the repo (negative = faster this round).
+    Queries added since the previous round appear with delta null."""
+    import glob
+    import re
+
+    rounds = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    # the round driver wraps bench stdout: {"n", "rc", "tail", "parsed", ...};
+    # accept the bare bench line, the driver's "parsed" field, or scan "tail"
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    if "queries" not in prev and isinstance(prev.get("tail"), str):
+        for line in reversed(prev["tail"].replace("\r", "\n").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    cand = json.loads(line)
+                except ValueError:
+                    continue
+                if "queries" in cand:
+                    prev = cand
+                    break
+    prev_q = prev.get("queries", {})
+    if not prev_q:
+        return {}
+    deltas = {
+        name: (round(sec - prev_q[name], 3) if name in prev_q else None)
+        for name, sec in timings.items()
+    }
+    out = {"deltas": deltas, "deltas_vs_round": n}
+    if isinstance(prev.get("value"), (int, float)):
+        out["delta_total"] = round(total - prev["value"], 3)
+    return out
 
 
 if __name__ == "__main__":
