@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_json_props": dynamic_spark.q_dynamic_props,
         "static_map_props": dynamic_spark.q_static_props_map,
         "static_composition": dynamic_spark.q_static_composition,
+        "static_struct_object": dynamic_spark.q_static_struct_object,
+        "static_enum_complex": dynamic_spark.q_static_enum_complex,
+        "static_unique_items": dynamic_spark.q_static_unique_items,
         # reports: top-k + rollup
         "report_worst_urls": reports.worst_urls,
         "report_verdict_rollup": reports.verdict_rollup,
@@ -106,6 +109,9 @@ def oracle_sql() -> dict[str, str]:
         "dynamic_json_props": dynamic_spark.ORACLE_DYNAMIC_PROPS_SQL,
         "static_map_props": dynamic_spark.ORACLE_STATIC_PROPS_MAP_SQL,
         "static_composition": dynamic_spark.ORACLE_STATIC_COMPOSITION_SQL,
+        "static_struct_object": dynamic_spark.ORACLE_STATIC_STRUCT_OBJECT_SQL,
+        "static_enum_complex": dynamic_spark.ORACLE_STATIC_ENUM_COMPLEX_SQL,
+        "static_unique_items": dynamic_spark.ORACLE_STATIC_UNIQUE_ITEMS_SQL,
         "report_worst_urls": reports.oracle_worst_urls_sql(
             oracle_violations_sql(DUCKDB_CTE)
         ),

@@ -72,7 +72,9 @@ rows = st.lists(
         st.one_of(st.none(), st.sampled_from(["", "a", "ab", "ba", "aab", "zzz"])),
         st.one_of(st.none(), st.integers(-4, 9)),
         st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, min_value=-4, max_value=6, width=16)),
-        st.one_of(st.none(), st.lists(st.integers(-3, 5), max_size=4)),
+        # null ELEMENTS are JSON null (not absent): items keywords must
+        # treat them per draft-04 type dispatch (round-1 ADVICE)
+        st.one_of(st.none(), st.lists(st.one_of(st.none(), st.integers(-3, 5)), max_size=4)),
     ),
     min_size=1,
     max_size=12,

@@ -209,3 +209,158 @@ SELECT event_id AS id, 'propsmap' AS path, 'properties' AS keyword,
        'value of `k` fails its subschema' AS reason, partition_id
 FROM e WHERE k < 5
 """
+
+
+# --- static StructType object keywords (round-2: driver-side field
+# --- resolution of patternProperties / additionalProperties / deps) --------
+
+STRUCT_OBJECT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "o": {
+            "properties": {"name": {"minLength": 2}},
+            "patternProperties": {"^x_": {"minimum": 100}},
+            "additionalProperties": False,
+            "dependencies": {"x_mod": {"required": ["x_len"]}},
+        }
+    },
+}
+
+
+def q_static_struct_object(spark, sf_dir: str) -> DataFrame:
+    """Closed-struct object keywords compiled STATICALLY: field names
+    regex-resolved on the driver (patternProperties), the unclaimed
+    field set computed at compile time (additionalProperties: false),
+    and a schema-form dependency — all over a struct column derived
+    deterministically from the documents table (NULL field = absent
+    key)."""
+    from xjs.plan import compile_static
+    from xjs.runtime import violations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias("partition_id"),
+        F.struct(
+            F.col("lang").alias("name"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("n_chars")).alias("x_len"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 200).alias("x_mod"),
+            F.when(F.col("doc_id") % 5 == 0, F.col("source")).alias("extra"),
+        ).alias("o"),
+    )
+    plan = compile_static(
+        STRUCT_OBJECT_SCHEMA, d.schema, id_col="doc_id", partition_col="partition_id"
+    )
+    return violations(d, plan)
+
+
+ORACLE_STATIC_STRUCT_OBJECT_SQL = """
+WITH d AS (
+    SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS partition_id,
+           CASE WHEN doc_id % 2 = 0 THEN n_chars END AS x_len,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id % 200 END AS x_mod,
+           CASE WHEN doc_id % 5 = 0 THEN source END AS extra
+    FROM documents
+)
+SELECT doc_id AS id, 'o.x_len' AS path, 'minimum' AS keyword,
+       '100' AS value_json, 'value < 100' AS reason, partition_id
+FROM d WHERE x_len < 100
+UNION ALL
+SELECT doc_id AS id, 'o.x_mod' AS path, 'minimum' AS keyword,
+       '100' AS value_json, 'value < 100' AS reason, partition_id
+FROM d WHERE x_mod < 100
+UNION ALL
+SELECT doc_id AS id, 'o' AS path, 'additionalProperties' AS keyword,
+       'false' AS value_json, 'unexpected extra field `extra`' AS reason, partition_id
+FROM d WHERE extra IS NOT NULL
+UNION ALL
+SELECT doc_id AS id, 'o' AS path, 'dependencies' AS keyword,
+       '{"x_mod": {"required": ["x_len"]}}' AS value_json,
+       '`x_mod` present but its dependency subschema fails' AS reason, partition_id
+FROM d WHERE x_mod IS NOT NULL AND x_len IS NULL
+"""
+
+
+# --- static complex-value enum (round-2: typed literals + <=>) -------------
+
+ENUM_COMPLEX_SCHEMA = {
+    "type": "object",
+    "properties": {
+        # mixed member shapes: two matchable pairs, a string that can
+        # never inhabit array<string>, and a size-1 array that matches
+        # no 2-element value — deep_equal type-strictness throughout
+        "pair": {"enum": [["en", "src1"], ["de", "src2"], "never", ["fr"]]}
+    },
+}
+
+
+def q_static_enum_complex(spark, sf_dir: str) -> DataFrame:
+    """Complex-value enum compiled statically: array members become
+    typed array literals compared with <=> (reference keywords.py:67-94
+    via deep_equal); members that cannot inhabit the column type are
+    dropped at compile time."""
+    from xjs.plan import compile_static
+    from xjs.runtime import violations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias("partition_id"),
+        F.array(F.col("lang"), F.col("source")).alias("pair"),
+    )
+    plan = compile_static(
+        ENUM_COMPLEX_SCHEMA, d.schema, id_col="doc_id", partition_col="partition_id"
+    )
+    return violations(d, plan)
+
+
+ORACLE_STATIC_ENUM_COMPLEX_SQL = """
+SELECT doc_id AS id, 'pair' AS path, 'enum' AS keyword,
+       '[["en", "src1"], ["de", "src2"], "never", ["fr"]]' AS value_json,
+       'value not in enum(4)' AS reason,
+       CAST(doc_id % 16 AS INTEGER) AS partition_id
+FROM documents
+WHERE NOT ((lang = 'en' AND source = 'src1') OR (lang = 'de' AND source = 'src2'))
+"""
+
+
+# --- static uniqueItems with per-duplicate multiplicity (round-2) ----------
+
+UNIQUE_TOKENS_SCHEMA = {
+    "type": "object",
+    "properties": {"toks": {"uniqueItems": True}},
+}
+
+
+def q_static_unique_items(spark, sf_dir: str) -> DataFrame:
+    """uniqueItems over the first 8 tokens of each document, emitting
+    one violation row PER duplicate index beyond the first occurrence
+    (reference tools.py:50-65 multiplicity) — the static analog of the
+    dynamic evaluator's per-duplicate errors."""
+    from xjs.plan import compile_static
+    from xjs.runtime import violations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias("partition_id"),
+        F.slice(F.split(F.col("text"), " "), 1, 8).alias("toks"),
+    )
+    plan = compile_static(
+        UNIQUE_TOKENS_SCHEMA, d.schema, id_col="doc_id", partition_col="partition_id"
+    )
+    return violations(d, plan)
+
+
+ORACLE_STATIC_UNIQUE_ITEMS_SQL = """
+WITH d AS (
+    SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS partition_id,
+           string_split(text, ' ')[1:8] AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, partition_id,
+           len(toks) - len(list_distinct(toks)) AS dups
+    FROM d
+)
+SELECT doc_id AS id, 'toks' AS path, 'uniqueItems' AS keyword,
+       'true' AS value_json, 'duplicate elements' AS reason, partition_id
+FROM c, UNNEST(range(c.dups))
+"""

@@ -60,6 +60,11 @@ class RowCheck:
 
     ``pred`` is the PASS condition; NULL pred = vacuous (key absent).
     A violation is ``pred <=> False``.
+
+    ``count`` (optional) is the violation *multiplicity* when the check
+    fails — e.g. uniqueItems emits one error per duplicate index in the
+    reference (tools.py:50-65), so its count is
+    ``size(e) - size(array_distinct(e))``.  None = multiplicity 1.
     """
 
     name: str                 # "url.format:uri"
@@ -70,6 +75,7 @@ class RowCheck:
     reason: str
     pred: Column
     uses_python: bool = False  # True when a pandas-UDF fallback is used
+    count: Optional[Column] = None
 
 
 @dataclass
@@ -83,6 +89,30 @@ class CheckPlan:
         for c in self.checks:
             p = p & ~c.pred.eqNullSafe(F.lit(False))
         return p
+
+    def explain(self) -> str:
+        """Human-readable compiled program — the analog of the
+        reference's ``repr(validator)`` printing the generated source
+        (validator.py:39-40): one line per check with its Catalyst
+        predicate SQL."""
+        lines = [f"CheckPlan(id={self.id_col!r}, partition={self.partition_col!r}, checks={len(self.checks)})"]
+        for c in self.checks:
+            tag = " [pandas-udf]" if c.uses_python else ""
+            mult = " [multiplicity]" if c.count is not None else ""
+            lines.append(f"  {c.name}{tag}{mult}: {_pred_sql(c.pred)}")
+        return "\n".join(lines)
+
+    def __repr__(self) -> str:  # pragma: no cover - convenience
+        return self.explain()
+
+
+def _pred_sql(pred: Column) -> str:
+    """Best-effort SQL rendering of a Column predicate."""
+    try:
+        s = pred._jc.toString()
+    except Exception:
+        s = str(pred)
+    return s if len(s) <= 400 else s[:397] + "..."
 
 
 def compile_static(
@@ -129,11 +159,28 @@ def compile_static(
     return CheckPlan(checks=checks, id_col=id_col, partition_col=partition_col)
 
 
-def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType, prefix: str = "") -> List[RowCheck]:
+def _compile_property(
+    node: SchemaNode, colname: str, e: Column, dt: T.DataType,
+    prefix: str = "", elem: bool = False,
+) -> List[RowCheck]:
+    """Compile one subschema over expression ``e`` of Spark type ``dt``.
+
+    Null semantics are mode-dependent (SURVEY.md §7.4 #6):
+
+    * ``elem=False`` (column / struct-field position): NULL models an
+      *absent key*, so every keyword is vacuous on NULL (pred NULL).
+    * ``elem=True`` (array element / map value position): NULL models
+      *JSON null* — ``type`` without "null" in its union must fail it,
+      ``enum`` matches it only when null is a member, and
+      type-dispatched keywords (numeric/string/...) stay vacuous, per
+      draft-04's applies-only-to-matching-types rule (the dynamic
+      evaluator's by-type dispatch, dynamic.py:74-78).
+    """
     path = prefix or colname
     out: List[RowCheck] = []
 
-    def add(keyword: str, value, pred: Column, reason: str, uses_python: bool = False):
+    def add(keyword: str, value, pred: Column, reason: str,
+            uses_python: bool = False, count: Optional[Column] = None):
         out.append(
             RowCheck(
                 name=f"{path}.{keyword}",
@@ -144,30 +191,68 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
                 reason=reason,
                 pred=pred,
                 uses_python=uses_python,
+                count=count,
             )
         )
 
     # ---- type: resolved entirely at compile time --------------------------
     if node.type_names:
-        ok = any(isinstance(dt, _SPARK_OK.get(t, ())) for t in node.type_names)
-        if "null" in node.type_names:
-            ok = ok or True  # null is representable in every Spark column
-        if ok:
-            pass  # statically satisfied: Catalyst constant-folds nothing here
+        spark_ok = any(isinstance(dt, _SPARK_OK.get(t, ())) for t in node.type_names)
+        null_ok = "null" in node.type_names
+        reason = f"column `{colname}` has Spark type {dt.simpleString()}, schema wants {node.type_names}"
+        if elem:
+            # JSON-null element semantics: a NULL element passes only
+            # when "null" is in the union; present values pass only
+            # when the Spark type matches a declared type.
+            if spark_ok and not null_ok:
+                add("type", node.keywords["type"], e.isNotNull(), reason)
+            elif not spark_ok and null_ok:
+                add("type", node.keywords["type"], e.isNull(), reason)
+            elif not spark_ok and not null_ok:
+                add("type", node.keywords["type"], F.lit(False), reason)
+            # spark_ok and null_ok: statically satisfied
         else:
-            # declared-vs-actual mismatch: every present value violates
-            add(
-                "type",
-                node.keywords["type"],
-                e.isNull(),
-                f"column `{colname}` has Spark type {dt.simpleString()}, schema wants {node.type_names}",
-            )
+            # absent-key semantics: NULL always passes (vacuous); a
+            # mismatched Spark type means every PRESENT value violates.
+            # NB: "null" in the union must NOT disable the check — the
+            # union still rejects present values of a wrong type
+            # (round-1 ADVICE: {"type": ["null","integer"]} on a string
+            # column was passing all strings).
+            if not spark_ok:
+                add("type", node.keywords["type"], e.isNull(), reason)
 
     # ---- enum -------------------------------------------------------------
     if node.enum_values is not None:
-        scalars = [v for v in node.enum_values if not isinstance(v, (list, dict))]
-        pred = e.isin(*scalars) if scalars else F.lit(False)
-        add("enum", node.enum_values, F.when(e.isNotNull(), pred), f"value not in enum({len(node.enum_values)})")
+        # deep_equal parity (jsonval.py): type-strict at every level —
+        # members that cannot inhabit this Spark type match nothing and
+        # are dropped; complex members become typed literals compared
+        # with <=> (reference keywords.py:67-94 via is_equal).
+        lits = []
+        isin_vals = []
+        none_member = False
+        for v in node.enum_values:
+            if v is None:
+                none_member = True
+                continue
+            tl = _typed_lit(v, dt)
+            if tl is None:
+                continue
+            if isinstance(v, (list, dict)):
+                lits.append(tl)
+            else:
+                isin_vals.append(v)
+        pred = F.lit(False)
+        if isin_vals:
+            pred = pred | e.isin(*isin_vals)
+        for tl in lits:
+            pred = pred | e.eqNullSafe(tl)
+        if elem:
+            # JSON-null element: matches the enum iff null is a member
+            pred = F.when(e.isNull(), F.lit(none_member)).otherwise(pred)
+            add("enum", node.enum_values, pred, f"value not in enum({len(node.enum_values)})")
+        else:
+            add("enum", node.enum_values, F.when(e.isNotNull(), pred),
+                f"value not in enum({len(node.enum_values)})")
 
     # ---- string ----------------------------------------------------------
     is_stringish = isinstance(dt, (T.StringType, T.VarcharType, T.CharType))
@@ -212,7 +297,11 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
         if node.max_items is not None:
             add("maxItems", node.max_items, F.size(e) <= node.max_items, f"size > {node.max_items}")
         if node.unique_items:
-            add("uniqueItems", True, F.size(e) == F.size(F.array_distinct(e)), "duplicate elements")
+            # one violation PER duplicate index beyond the first
+            # occurrence (reference tools.py:50-65; dynamic.py:238-241)
+            add("uniqueItems", True, F.size(e) == F.size(F.array_distinct(e)),
+                "duplicate elements",
+                count=F.size(e) - F.size(F.array_distinct(e)))
         if node.items_schema is not None:
             elem_pred = _subschema_pred(node.items_schema, dt.elementType)
             if elem_pred is not None:
@@ -220,18 +309,21 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
                     "an element fails the items subschema")
         if node.items_tuple is not None:
             # tuple form: element i checked only when present
-            # (reference keywords.py:239-247)
+            # (reference keywords.py:239-247); a present NULL element is
+            # JSON null (elem semantics — vacuous keywords pass it)
             for i, child in enumerate(node.items_tuple):
-                cp = _subschema_pred_col(child, F.element_at(e, i + 1), dt.elementType)
+                cp = _subschema_pred_col(child, F.element_at(e, i + 1), dt.elementType, elem=True)
                 if cp is None:
                     continue
                 add("items", child.raw,
-                    F.when(F.size(e) > i, F.coalesce(cp, F.lit(False))).otherwise(F.lit(True)),
+                    F.when(F.size(e) > i, F.coalesce(cp, F.lit(True))).otherwise(F.lit(True)),
                     f"element {i} fails its tuple subschema")
             ai = node.additional_items
             if ai is False:
                 n = len(node.items_tuple)
-                add("additionalItems", False, F.size(e) <= n, f"more than {n} elements")
+                # one violation per extra index (dynamic.py:198-201)
+                add("additionalItems", False, F.size(e) <= n, f"more than {n} elements",
+                    count=F.greatest(F.size(e) - n, F.lit(0)))
             elif ai is not None:
                 n = len(node.items_tuple)
                 extra = F.slice(e, n + 1, F.greatest(F.size(e) - n, F.lit(0)))
@@ -258,20 +350,68 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
                 _compile_property(child, colname, e.getField(k), sub_fields[k],
                                   prefix=f"{path}.{k}")
             )
+        # patternProperties: field names are known at compile time for
+        # a StructType, so the regex match is resolved driver-side —
+        # the exact analog of the reference's per-key resolution
+        # (keywords.py:488-546).  Keys declared by a sibling
+        # `properties` are skipped (dynamic.py:301-315).
+        declared_keys = set((node.properties or {}).keys())
+        pat_claimed: set = set()
+        for pat, rx, child in (node.pattern_properties or []):
+            for fname in sub_fields:
+                if rx.match(fname):
+                    pat_claimed.add(fname)
+                    if fname in declared_keys:
+                        continue
+                    out.extend(
+                        _compile_property(child, colname, e.getField(fname),
+                                          sub_fields[fname], prefix=f"{path}.{fname}")
+                    )
+        # additionalProperties over a closed struct: the unclaimed
+        # field set is computed at compile time (keywords.py:549-645).
+        if node.additional_properties is not None:
+            unclaimed = [
+                f for f in sub_fields
+                if f not in declared_keys and f not in pat_claimed
+            ]
+            if node.additional_properties is False:
+                for fname in unclaimed:
+                    # presence of the field (non-NULL under the
+                    # absent-key model) is the violation
+                    add("additionalProperties", False,
+                        F.when(e.isNotNull(), e.getField(fname).isNull()),
+                        f"unexpected extra field `{fname}`")
+            else:
+                ap = node.additional_properties
+                for fname in unclaimed:
+                    out.extend(
+                        _compile_property(ap, colname, e.getField(fname),
+                                          sub_fields[fname], prefix=f"{path}.{fname}")
+                    )
         if node.dependencies:
             for k in sorted(node.dependencies):
                 kind, payload = node.dependencies[k]
-                if kind != "list":
-                    continue
-                conj = F.lit(True)
-                for co in payload:
-                    conj = conj & (
-                        e.getField(co).isNotNull() if co in sub_fields else F.lit(False)
-                    )
                 guard = e.getField(k).isNotNull() if k in sub_fields else F.lit(False)
-                add("dependencies", node.keywords["dependencies"],
-                    F.when(e.isNotNull() & guard, conj).otherwise(F.lit(True)),
-                    f"`{k}` present but a dependent field is missing")
+                if kind == "list":
+                    conj = F.lit(True)
+                    for co in payload:
+                        conj = conj & (
+                            e.getField(co).isNotNull() if co in sub_fields else F.lit(False)
+                        )
+                    add("dependencies", node.keywords["dependencies"],
+                        F.when(e.isNotNull() & guard, conj).otherwise(F.lit(True)),
+                        f"`{k}` present but a dependent field is missing")
+                else:
+                    # schema-form: when `k` is present the WHOLE object
+                    # must satisfy the subschema (keywords.py:746-768;
+                    # dynamic.py:404-405 evaluates payload on `data`)
+                    sub = _subschema_pred_col(payload, e, dt)
+                    if sub is None:
+                        continue
+                    add("dependencies", node.keywords["dependencies"],
+                        F.when(e.isNotNull() & guard,
+                               F.coalesce(sub, F.lit(True))).otherwise(F.lit(True)),
+                        f"`{k}` present but its dependency subschema fails")
 
     # ---- object keywords over MapType (open objects) ----------------------
     if isinstance(dt, T.MapType):
@@ -287,15 +427,17 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
                 add("required", node.required, F.map_contains_key(e, F.lit(k)),
                     f"missing required key `{k}`")
         for k, child in (node.properties or {}).items():
-            child_pred = _subschema_pred_col(child, e.getItem(k), dt.valueType)
+            # a present key with NULL value is JSON null: elem semantics
+            child_pred = _subschema_pred_col(child, e.getItem(k), dt.valueType, elem=True)
             if child_pred is not None:
                 add("properties", {k: child.raw},
-                    F.when(F.map_contains_key(e, F.lit(k)), child_pred).otherwise(F.lit(True)),
+                    F.when(F.map_contains_key(e, F.lit(k)),
+                           F.coalesce(child_pred, F.lit(True))).otherwise(F.lit(True)),
                     f"value of `{k}` fails its subschema")
         for pat, _rx, child in (node.pattern_properties or []):
             def mk_pp(pat, child):
                 def fn(ent):
-                    cp = _subschema_pred_col(child, ent.getField("value"), dt.valueType)
+                    cp = _subschema_pred_col(child, ent.getField("value"), dt.valueType, elem=True)
                     base = ~ent.getField("key").rlike(f"^(?:{pat})")
                     return base if cp is None else (base | F.coalesce(cp, F.lit(True)))
                 return fn
@@ -313,14 +455,16 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
                 return c
 
             if node.additional_properties is False:
+                # one violation per unclaimed key (dynamic.py:330-334)
                 add("additionalProperties", False,
                     F.forall(keys, lambda k: claimed(k)),
-                    "unexpected extra key")
+                    "unexpected extra key",
+                    count=F.size(F.filter(keys, lambda k: ~claimed(k))))
             else:
                 ap = node.additional_properties
 
                 def unclaimed_ok(ent):
-                    cp = _subschema_pred_col(ap, ent.getField("value"), dt.valueType)
+                    cp = _subschema_pred_col(ap, ent.getField("value"), dt.valueType, elem=True)
                     if cp is None:
                         return F.lit(True)
                     return claimed(ent.getField("key")) | F.coalesce(cp, F.lit(True))
@@ -330,44 +474,61 @@ def _compile_property(node: SchemaNode, colname: str, e: Column, dt: T.DataType,
                     "an extra key's value fails the additionalProperties subschema")
 
     # ---- composition (predicate algebra) ----------------------------------
+    # A child pred that is NULL at runtime means every keyword in the
+    # child was vacuous on this value — the child PASSES (the dynamic
+    # evaluator's _child_ok: no errors = ok).  coalesce(p, True) makes
+    # that explicit so oneOf counting and `not` negation are exact.
+    def child_pass(c: SchemaNode) -> Optional[Column]:
+        p = _subschema_pred_col(c, e, dt, elem=elem)
+        return None if p is None else F.coalesce(p, F.lit(True))
+
+    def guard(pred: Column) -> Column:
+        # column position: composition is vacuous on an absent key;
+        # element position: NULL is JSON null and the children have
+        # already produced definite verdicts on it
+        return pred if elem else F.when(e.isNotNull(), pred)
+
     if node.all_of:
-        preds = [_subschema_pred_col(c, e, dt) for c in node.all_of]
+        preds = [child_pass(c) for c in node.all_of]
         preds = [p for p in preds if p is not None]
         if preds:
             total = preds[0]
             for p in preds[1:]:
                 total = total & p
-            add("allOf", node.keywords["allOf"], F.when(e.isNotNull(), total), "a subschema fails")
+            add("allOf", node.keywords["allOf"], guard(total), "a subschema fails")
     if node.any_of:
-        preds = [_subschema_pred_col(c, e, dt) for c in node.any_of]
+        preds = [child_pass(c) for c in node.any_of]
         if all(p is not None for p in preds) and preds:
             total = preds[0]
             for p in preds[1:]:
                 total = total | p
-            add("anyOf", node.keywords["anyOf"], F.when(e.isNotNull(), total), "no subschema passes")
+            add("anyOf", node.keywords["anyOf"], guard(total), "no subschema passes")
     if node.one_of:
-        preds = [_subschema_pred_col(c, e, dt) for c in node.one_of]
+        preds = [child_pass(c) for c in node.one_of]
         counted = [
             (p if p is not None else F.lit(True)).cast("int") for p in preds
         ]
         total = counted[0]
         for p in counted[1:]:
             total = total + p
-        add("oneOf", node.keywords["oneOf"], F.when(e.isNotNull(), total == 1),
+        add("oneOf", node.keywords["oneOf"], guard(total == 1),
             "subschema pass count != 1")
     if node.not_ is not None:
-        p = _subschema_pred_col(node.not_, e, dt)
+        p = child_pass(node.not_)
         pred = F.lit(False) if p is None else ~p  # always-true subschema => always fail
-        add("not", node.keywords["not"], F.when(e.isNotNull(), pred), "`not` subschema passes")
+        add("not", node.keywords["not"], guard(pred), "`not` subschema passes")
 
     return out
 
 
-def _subschema_pred_col(node: SchemaNode, e: Column, dt: T.DataType) -> Optional[Column]:
+def _subschema_pred_col(
+    node: SchemaNode, e: Column, dt: T.DataType, elem: bool = False
+) -> Optional[Column]:
     """Compile a subschema to a single boolean pass-Column over e.
     Returns None when the subschema is vacuous for this Spark type
-    (always-true).  NULL-safe: caller wraps with isNotNull."""
-    checks = _compile_property(node, "_", e, dt)
+    (always-true).  NULL-safe: caller wraps with isNotNull (column
+    position) or coalesces NULL to pass (element position)."""
+    checks = _compile_property(node, "_", e, dt, elem=elem)
     if not checks:
         return None
     total = checks[0].pred
@@ -377,23 +538,91 @@ def _subschema_pred_col(node: SchemaNode, e: Column, dt: T.DataType) -> Optional
 
 
 def _subschema_pred(node: SchemaNode, elem_dt: T.DataType):
-    """Element-level lambda for forall()."""
+    """Element-level lambda for forall().
+
+    Element position = JSON-null semantics: the `type` keyword produces
+    a definite verdict on NULL elements (elem=True branch above), while
+    type-dispatched keywords stay vacuous on them — so a remaining NULL
+    conjunction means "no applicable keyword" and coalesces to pass
+    (draft-04: keywords apply only to matching types; [null] against
+    items:{"minimum":0} is valid)."""
     # typed null: getField/getItem on an untyped VOID literal fails analysis
-    probe = _compile_property(node, "_elem", F.lit(None).cast(elem_dt), elem_dt)
+    probe = _compile_property(node, "_elem", F.lit(None).cast(elem_dt), elem_dt, elem=True)
     if not probe:
         return None
 
     def fn(x: Column) -> Column:
-        checks = _compile_property(node, "_elem", x, elem_dt)
+        checks = _compile_property(node, "_elem", x, elem_dt, elem=True)
         total = checks[0].pred
         for c in checks[1:]:
             total = total & c.pred
-        # absent-key vacuity doesn't apply to array elements: a NULL
-        # element is JSON null and must fail typed checks; draft-04
-        # semantics for nulls inside arrays with e.g. {"type":"integer"}
-        return F.coalesce(total, F.lit(False))
+        return F.coalesce(total, F.lit(True))
 
     return fn
+
+
+#: Spark types an enum scalar of each Python type can inhabit under
+#: deep_equal's type-strict comparison (jsonval.py: True != 1, 1.0 != 1)
+_LIT_OK = {
+    bool: (T.BooleanType,),
+    int: (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DecimalType),
+    float: (T.DoubleType, T.FloatType),
+    str: (T.StringType, T.VarcharType, T.CharType),
+}
+
+
+def _typed_lit(v, dt: T.DataType) -> Optional[Column]:
+    """Build a typed literal Column for a JSON enum member against a
+    Spark type, honoring deep_equal's type-strictness.  Returns None
+    when the member cannot inhabit ``dt`` (it can then never equal any
+    value of the column and contributes nothing to the isin/<=> pred).
+
+    Struct members follow the absent-key model: dict keys missing from
+    the struct become NULL fields, so ``{"a": 1}`` equals a struct row
+    ``{a: 1, b: NULL}`` — the same modeling used by `required`.
+
+    Raises PlanError for object members over MapType columns: Spark
+    defines no equality on maps, so static mode cannot answer —
+    callers should use the dynamic backend (round-1 ADVICE: never
+    silently compile a wrong predicate)."""
+    if v is None:
+        return F.lit(None).cast(dt)
+    # NB: bool before int — bool is an int subclass in Python
+    for py_t, spark_ts in _LIT_OK.items():
+        if type(v) is py_t:
+            return F.lit(v).cast(dt) if isinstance(dt, spark_ts) else None
+    if isinstance(v, list):
+        if not isinstance(dt, T.ArrayType):
+            return None
+        elems = [_typed_lit(x, dt.elementType) for x in v]
+        if any(el is None for el in elems):
+            return None
+        if not elems:
+            return F.array().cast(dt)
+        return F.array(*elems)
+    if isinstance(v, dict):
+        if isinstance(dt, T.MapType):
+            raise PlanError(
+                "enum with object members over a MapType column is not "
+                "supported in static mode (Spark defines no map equality); "
+                "use the dynamic backend"
+            )
+        if not isinstance(dt, T.StructType):
+            return None
+        fnames = {f.name for f in dt.fields}
+        if not set(v).issubset(fnames):
+            return None
+        cols = []
+        for f in dt.fields:
+            if f.name in v:
+                fl = _typed_lit(v[f.name], f.dataType)
+                if fl is None:
+                    return None
+                cols.append(fl.alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.struct(*cols)
+    return None
 
 
 def _format_pred(e: Column, fmt: str) -> Column:

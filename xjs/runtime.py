@@ -1,10 +1,11 @@
 """Runtime: execute a CheckPlan over a DataFrame.
 
 Violation emission is a single narrow projection (no shuffle): build
-one ``array<struct>`` of per-check violation payloads, drop the nulls,
-explode.  Catalyst sees one scan with every predicate inside one
-whole-stage-codegen span; column pruning reads only the columns the
-compiled checks reference.
+one ``array<array<struct>>`` of per-check violation payloads (inner
+arrays carry multiplicity, e.g. uniqueItems' one-per-duplicate-index),
+drop the nulls, flatten, explode.  Catalyst sees one scan with every
+predicate inside one whole-stage-codegen span; column pruning reads
+only the columns the compiled checks reference.
 
 Verdicts are a single aggregation pass (one shuffle on the partition
 column): per-check violation counts computed as conditional sums in
@@ -35,18 +36,23 @@ def violations(df: DataFrame, plan: CheckPlan, keep_cols=()) -> DataFrame:
     — one row per failed check per document.  Narrow: scan → project →
     explode.  ``keep_cols`` are carried through (e.g. an event-time
     column for streaming windows)."""
-    entries = [
-        F.when(
-            c.pred.eqNullSafe(F.lit(False)),  # NULL pred = vacuous pass
-            F.struct(
-                F.lit(c.path).alias("path"),
-                F.lit(c.keyword).alias("keyword"),
-                F.lit(c.value_json).alias("value_json"),
-                F.lit(c.reason).alias("reason"),
-            ),
+    def entry(c):
+        payload = F.struct(
+            F.lit(c.path).alias("path"),
+            F.lit(c.keyword).alias("keyword"),
+            F.lit(c.value_json).alias("value_json"),
+            F.lit(c.reason).alias("reason"),
         )
-        for c in plan.checks
-    ]
+        failed = c.pred.eqNullSafe(F.lit(False))  # NULL pred = vacuous pass
+        if c.count is None:
+            return F.when(failed, F.array(payload))
+        # multiplicity checks (e.g. uniqueItems: one violation per
+        # duplicate index, reference tools.py:50-65) repeat the payload
+        return F.when(
+            failed, F.array_repeat(payload, c.count.cast("int"))
+        )
+
+    entries = [entry(c) for c in plan.checks]
     part = (
         F.col(plan.partition_col)
         if plan.partition_col
@@ -77,7 +83,7 @@ def violations(df: DataFrame, plan: CheckPlan, keep_cols=()) -> DataFrame:
         part.cast("int").alias("partition_id"),
         *[F.col(c) for c in keep_cols],
         F.explode(
-            F.filter(F.array(*entries), lambda x: x.isNotNull())
+            F.flatten(F.filter(F.array(*entries), lambda x: x.isNotNull()))
         ).alias("v"),
     )
     return exploded.select(
@@ -104,9 +110,13 @@ def verdicts(df: DataFrame, plan: CheckPlan) -> DataFrame:
         aggs.append(
             F.sum(c.pred.isNotNull().cast("long")).alias(f"_n{i}")
         )
-        aggs.append(
-            F.sum(c.pred.eqNullSafe(F.lit(False)).cast("long")).alias(f"_v{i}")
+        failed = c.pred.eqNullSafe(F.lit(False))
+        viol = (
+            failed.cast("long")
+            if c.count is None
+            else F.when(failed, c.count.cast("long")).otherwise(F.lit(0))
         )
+        aggs.append(F.sum(viol).alias(f"_v{i}"))
     grouped = df.groupBy(part.cast("int").alias("partition_id")).agg(*aggs)
 
     # unpivot per-check columns into verdict rows with one stack()
