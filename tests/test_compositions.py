@@ -43,3 +43,25 @@ def test_sessionize(spark, sf_dir):
     # session ids are dense per user starting at 0
     first = min(r["session_id"] for r in rows)
     assert first == 0
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter > MAX_ITERS: pointer jumping must converge in O(log d)
+    rounds where plain min-propagation needs O(d) (round-1 verdict #5:
+    the old loop silently returned non-converged labels here)."""
+    n = 40  # path graph 0-1-2-...-39, diameter 39 > MAX_ITERS=20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    cc = {r["doc_id"]: r["cluster"] for r in clusters.connected_components(pairs).collect()}
+    assert cc == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        clusters.connected_components(pairs, max_iters=2)

@@ -64,22 +64,47 @@ def duplicate_url_sample(df: DataFrame, key: str = "url", n_salts: int = 64) -> 
     )
 
 
+def _evidence_stage1(
+    df: DataFrame, key: str, order_col: str, per_key: int, n_salts: int
+) -> DataFrame:
+    """Stage 1 of the two-stage evidence cap: keep the first
+    ``per_key`` rows per (key, salt) bucket.  The salt is derived from
+    the row's own order value (deterministic across runs), so a hot
+    key's rows spread over ``n_salts`` window partitions and no single
+    reducer ever materializes more than ~rows/n_salts of it."""
+    from pyspark.sql.window import Window
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(key, "_salt").orderBy(order_col)
+    return (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= per_key)
+        .drop("_rn1")
+    )
+
+
 def duplicate_key_evidence(
     df: DataFrame, key: str, order_col: str, per_key: int = 3, n_salts: int = 64
 ) -> DataFrame:
     """north_star: "violations join back to sample offending rows" —
     each duplicated key joined back to its first ``per_key`` rows.
 
-    The join shuffles on the key; the row_number window caps the
-    evidence per key so a million-copy hot url contributes ``per_key``
-    rows, not a million (the skew guard on the OUTPUT side)."""
+    Two-stage cap (round-1 verdict: a single
+    ``Window.partitionBy(key)`` re-concentrates a million-copy hot key
+    on one reducer BEFORE the rn <= per_key filter).  Stage 1 caps per
+    (key, salt) — every global top-``per_key`` row is also in its salt
+    bucket's top-``per_key``, so no wanted row is lost; stage 2 ranks
+    the <= per_key * n_salts survivors per key, which is bounded
+    regardless of the key's true row count."""
     from pyspark.sql.window import Window
 
     dups = duplicate_keys(df, key, n_salts=n_salts)
-    w = Window.partitionBy(key).orderBy(order_col)
+    capped = _evidence_stage1(df.join(dups, key), key, order_col, per_key, n_salts)
+    w2 = Window.partitionBy(key).orderBy(order_col)
     return (
-        df.join(dups, key)
-        .withColumn("_rn", F.row_number().over(w))
+        capped.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= per_key)
         .select(key, "n_rows", order_col, "partition_id")
     )

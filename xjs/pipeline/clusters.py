@@ -3,11 +3,18 @@ components -> one kept doc per cluster.
 
 Label propagation over the (tiny, relative to the corpus) candidate
 graph: each node takes the min label among itself and its neighbors,
-iterated to convergence with a driver-side changed-count check.  Every
-iteration is one join + one aggregation over EDGES (not documents);
-real corpora have small diameters, so this terminates in a handful of
-rounds — the classic iterative-algorithm shape on Spark (same topology
-as GraphX's connected components).
+then follows its label's label (pointer jumping / path halving — the
+large-star idea from Kiveris et al., "Connected Components in
+MapReduce and Beyond"), iterated to convergence with a driver-side
+changed-count check.  Every iteration is two joins + one aggregation
+over EDGES (not documents); pointer jumping makes the round count
+O(log diameter) instead of O(diameter), so a 2^MAX_ITERS-long chain
+still converges — and non-convergence raises instead of silently
+returning wrong labels (round-1 verdict #5).
+
+Superseded per-iteration caches are unpersisted as soon as the next
+generation is materialized, so executor storage stays at one labels
+generation regardless of iteration count.
 
 Oracle: a DuckDB recursive CTE computes true reachability minima; the
 convergence loop must agree exactly.
@@ -23,9 +30,13 @@ from xjs.pipeline.dedup import DUCKDB_CORPUS_CTE, _minhash_sql, dedup_corpus, ve
 MAX_ITERS = 20
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
-    """(doc_id, cluster): min doc_id reachable in the pair graph."""
-    spark = pairs.sparkSession
+def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+    """(doc_id, cluster): min doc_id reachable in the pair graph.
+
+    Raises RuntimeError if the loop has not converged after
+    ``max_iters`` rounds — with path halving that needs a component
+    diameter around 2^max_iters, so hitting it means something is
+    wrong, and wrong cluster labels must never be returned silently."""
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.unionAll(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -35,19 +46,37 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .select("id", F.col("id").alias("label"))
         .cache()
     )
-    for _ in range(MAX_ITERS):
+    converged = False
+    for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nl"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.doc_a, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
             )
-            .cache()
+        )
+        # pointer jumping: label <- label(label).  A label is always a
+        # node id in the same component, so the jump preserves
+        # correctness while halving pointer-chain depth each round.
+        mapping = stepped.select(F.col("id").alias("mid"), F.col("label").alias("mlabel"))
+        new_labels = (
+            stepped.join(mapping, stepped.label == mapping.mid, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("mlabel"), F.col("label"))).alias("label"),
+            )
+            # lineage truncation, not just caching: each generation's
+            # logical plan references the previous one ~4x (stepped,
+            # mapping, changed-join), so without an eager checkpoint the
+            # plan grows 4^k and Catalyst analysis dominates after a few
+            # rounds.  localCheckpoint materializes to executor storage
+            # and cuts the plan — the standard iterative-algorithm shape.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -55,9 +84,21 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # drop the superseded generation (no-op on checkpointed gens,
+        # whose RDD storage is reclaimed by the ContextCleaner once the
+        # reference rebinds)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "— refusing to return possibly-wrong cluster labels"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 
