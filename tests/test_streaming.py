@@ -109,3 +109,50 @@ def test_windowed_counts_with_watermark(spark, sf_dir, tmp):
     assert len(rows) > 0
     total = sum(r["n"] for r in rows)
     assert total == violations(wp, plan).count()
+
+
+def test_streaming_session_windows_equal_batch(spark, sf_dir, tmp):
+    """F.session_window in the streaming path == the same aggregation
+    on the batch read == the batch sessionize pipeline (on ts order):
+    identical (entity, session_start, n_events) triples."""
+    from xjs.pipeline.sessions import GAP_MINUTES, sessionize
+    from xjs.streaming import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{tmp}/ev/b1")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{tmp}/ev/b2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/ev")
+    )
+    q = (
+        session_stats(stream, "user_id", "ts", gap=f"{GAP_MINUTES} minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_stats(ev, "user_id", "ts", gap=f"{GAP_MINUTES} minutes").collect()
+    }
+    assert got == batch
+    assert sum(n for _, _, _, n in got) == ev.count()
+
+    # the batch windowed pipeline agrees on session membership when
+    # ordered by event time (session_window.end = last event + gap by
+    # definition, so compare (entity, start, n_events))
+    pipeline = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(ev, "user_id", "ts", "ts").collect()
+    }
+    assert {(u, s, n) for u, s, _, n in got} == pipeline

@@ -88,6 +88,44 @@ def stateful_entity_totals(stream_df: DataFrame, plan: CheckPlan, entity_col: st
     )
 
 
+def session_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: Optional[str] = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation via ``F.session_window`` —
+    (entity, session_start, session_end, n_events).
+
+    Works on BOTH a stream and a batch DataFrame (the equivalence the
+    tests assert): in streaming mode the watermark bounds session
+    state, merging late events into open sessions within the horizon
+    and finalizing sessions once the watermark passes their end.  This
+    is the streaming counterpart of xjs.pipeline.sessions.sessionize —
+    same gap semantics; session_window's `end` is last-event + gap by
+    definition, where the batch pipeline reports max(ts).
+
+    State shape at scale: one open session struct per (entity, active
+    session); the watermark evicts closed sessions, so state is
+    proportional to concurrently-active entities, not history."""
+    # event-time ops require TIMESTAMP (not NTZ); the session timezone
+    # is pinned UTC (xjs.session), so this cast is an identity relabel
+    src = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark is not None and df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.col(entity_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(entity_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
