@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": similarity.lsh_topk,
         "similarity_ivf_assign": similarity.ivf_assignments,
         "similarity_ivf_topk": similarity.ivf_topk,
+        "dedup_embedding": similarity.q_dedup_embedding,
         "text_quality": text.q_text_quality,
         "text_langid": text.q_text_langid,
         "text_fingerprint": text.q_text_fingerprint,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_topk": similarity.oracle_lsh_topk_sql(),
         "similarity_ivf_assign": similarity.oracle_ivf_assignments_sql(),
         "similarity_ivf_topk": similarity.oracle_ivf_topk_sql(),
+        "dedup_embedding": similarity.oracle_dedup_embedding_sql(),
         "text_quality": text.ORACLE_TEXT_QUALITY_SQL,
         "text_langid": text.oracle_text_langid_sql(),
         "text_fingerprint": text.oracle_text_fingerprint_sql(),

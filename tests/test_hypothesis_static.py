@@ -55,6 +55,16 @@ arr_schema = st.fixed_dictionaries(
         "items": st.fixed_dictionaries(
             {}, optional={"minimum": st.integers(-2, 4), "type": st.just("integer")}
         ),
+        # complex enum members (round 2): typed array literals + <=>;
+        # mixed with never-matching scalars to exercise the
+        # type-strict drop
+        "enum": st.lists(
+            st.one_of(
+                st.lists(st.integers(-2, 3), max_size=3),
+                st.sampled_from(["nope"]),
+            ),
+            min_size=1, max_size=3, unique_by=lambda v: str(v),
+        ),
     },
 )
 

@@ -174,3 +174,21 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+
+def test_embedding_near_duplicates(spark, sf_dir):
+    """All-pairs LSH-bucket dedup over embeddings: injected exact
+    copies at cosine 1.0, near copies (cyclic 0.95/1.0/1.05 coordinate
+    scaling) close to 1.0, and no natural pairs (base corpus max
+    pairwise cosine ~0.51)."""
+    out = {(r["vec_a"], r["vec_b"]): r["cos"]
+           for r in similarity.q_dedup_embedding(spark, sf_dir).collect()}
+    for i in range(0, 500, 50):
+        assert out.get((i, i + 20_000)) == 1.0, f"exact pair {i} missed"
+    near_found = [(a, b) for (a, b) in out if b == a + 10_000 and a % 30 == 0]
+    assert len(near_found) >= 15  # 17 injected; LSH bucket recall
+    for a, b in near_found:
+        assert out[(a, b)] >= similarity.COSINE_T
+    # nothing from the natural (near-orthogonal) corpus: every pair
+    # involves an injected copy (vec_id >= 10_000)
+    assert all(b >= 10_000 for a, b in out)

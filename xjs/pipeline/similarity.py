@@ -213,6 +213,96 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (dedup family).
+# Unlike the top-k queries above, this is the ALL-PAIRS shape: no
+# broadcastable query set — the self-join co-partitions both sides on
+# the LSH bucket, so candidate volume is sum_b C(|bucket_b|, 2) and the
+# exact-cosine verification touches only candidates.  At 10^9 vectors
+# the bucket count (2^N_PLANES per table, more planes at scale) is the
+# knob that keeps buckets small; a bucket-size cap like MinHash's would
+# guard degenerate clusters.
+# --------------------------------------------------------------------------
+
+COSINE_T = 0.98      # verification threshold (rounded cosine)
+
+
+def neardup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus injected duplicates (the base table is
+    near-orthogonal — max natural pairwise cosine ~0.51): exact copies
+    (+20000, cosine 1.0) and near copies (+10000, coords scaled
+    0.95/1.0/1.05 cyclically, cosine ~0.999).  Mirrored in the DuckDB
+    oracle CTE."""
+    emb = load_embeddings(spark, sf_dir)
+    exact = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"), "emb"
+    )
+    near = emb.filter(F.col("vec_id") % 30 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        # NB: 2-arg transform lambda = (element, index)
+        F.transform(
+            F.col("emb"), lambda x, i: x * (1.0 + 0.05 * ((i % 3) - 1))
+        ).alias("emb"),
+    )
+    return emb.unionAll(exact).unionAll(near)
+
+
+def embedding_near_duplicates(emb: DataFrame, threshold: float = COSINE_T) -> DataFrame:
+    """(vec_a, vec_b, cos): same-LSH-bucket pairs with exact cosine >=
+    threshold."""
+    b = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
+    left, right = b.alias("a"), b.alias("b")
+    cands = left.join(
+        right,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        cands.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_duplicates(neardup_embedding_corpus(spark, sf_dir))
+
+
+_NEARDUP_CORPUS_CTE = f"""
+base AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+    FROM embeddings
+),
+emb AS (
+    SELECT vec_id, emb FROM base
+    UNION ALL
+    SELECT vec_id + 20000 AS vec_id, emb FROM base WHERE vec_id % 50 = 0
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           list_transform(range(1, {DIM} + 1), i -> emb[i] * (1.0 + 0.05 * ((i - 1) % 3 - 1))) AS emb
+    FROM base WHERE vec_id % 30 = 0
+)
+"""
+
+
+def oracle_dedup_embedding_sql() -> str:
+    return f"""
+WITH {_NEARDUP_CORPUS_CTE.strip()},
+bucketed AS (SELECT vec_id, emb, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DOT_SQL} /
+                 (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, {DIM}+1), i -> a.emb[i]*a.emb[i])), (x,y)->x+y)) *
+                  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, {DIM}+1), i -> b.emb[i]*b.emb[i])), (x,y)->x+y))), 4) AS cos
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {COSINE_T}
+"""
+
+
+# --------------------------------------------------------------------------
 # DuckDB oracles (identical arithmetic: sequential double dot products)
 # --------------------------------------------------------------------------
 
