@@ -115,8 +115,11 @@ def test_static_equals_dynamic(spark, schema, data):
     # grain normalization: the reference's required error carries path
     # [] (value = whole list); static uses the column name — collapse
     # both to path ""
+    # items violations carry the element index in the path ("arr.3");
+    # normalize to the property grain for the set comparison
     static = {
-        (r["id"], "" if r["keyword"] == "required" else r["path"], r["keyword"])
+        (r["id"], "" if r["keyword"] == "required" else r["path"].split(".")[0],
+         r["keyword"])
         for r in violations(df, plan).collect()
     }
 

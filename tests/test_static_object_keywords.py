@@ -283,3 +283,28 @@ def test_checkplan_explain(spark):
     assert "s.minLength" in text
     assert "a.uniqueItems" in text and "[multiplicity]" in text
     assert repr(plan) == text
+
+
+def test_items_per_element_indexed_paths(spark):
+    """items emits one violation row PER failing element with the
+    runtime index in the path (reference keywords.py:227-237)."""
+    schema = {"properties": {"a": {"items": {"minimum": 0}}}}
+    rows = [(0, [1, -1, 2, -5]), (1, [3, 4]), (2, []), (3, None)]
+    df = _mkdf(spark, rows, "id long, a array<long>")
+    plan = compile_static(schema, df.schema, id_col="id", partition_col=None)
+    got = [(r["id"], r["path"]) for r in violations(df, plan).collect()]
+    assert sorted(got) == [(0, "a.1"), (0, "a.3")]
+    # dynamic emits the same count at the same indexed paths
+    ev = build_evaluator(schema)
+    errs = ev({"a": [1, -1, 2, -5]})
+    assert sorted(".".join(str(p) for p in e["path"]) for e in errs) == ["a.1", "a.3"]
+    assert "[per-element]" in plan.explain()
+
+
+def test_additional_items_schema_indexed_paths(spark):
+    schema = {"properties": {"a": {"items": [{}], "additionalItems": {"maximum": 10}}}}
+    rows = [(0, [99, 5, 20, 30])]  # element 0 unchecked (tuple {}), 2 and 3 fail
+    df = _mkdf(spark, rows, "id long, a array<long>")
+    plan = compile_static(schema, df.schema, id_col="id", partition_col=None)
+    got = sorted(r["path"] for r in violations(df, plan).collect())
+    assert got == ["a.2", "a.3"]

@@ -65,6 +65,12 @@ class RowCheck:
     fails — e.g. uniqueItems emits one error per duplicate index in the
     reference (tools.py:50-65), so its count is
     ``size(e) - size(array_distinct(e))``.  None = multiplicity 1.
+
+    ``paths`` (optional) is an array<string> of per-instance violation
+    paths when the check fails — e.g. ``items`` emits one row per
+    failing element with the element index in the path ("arr.3"), the
+    static analog of the reference's runtime index paths
+    (keywords.py:227-237).  Takes precedence over ``count``.
     """
 
     name: str                 # "url.format:uri"
@@ -76,6 +82,7 @@ class RowCheck:
     pred: Column
     uses_python: bool = False  # True when a pandas-UDF fallback is used
     count: Optional[Column] = None
+    paths: Optional[Column] = None
 
 
 @dataclass
@@ -98,7 +105,11 @@ class CheckPlan:
         lines = [f"CheckPlan(id={self.id_col!r}, partition={self.partition_col!r}, checks={len(self.checks)})"]
         for c in self.checks:
             tag = " [pandas-udf]" if c.uses_python else ""
-            mult = " [multiplicity]" if c.count is not None else ""
+            mult = (
+                " [per-element]" if c.paths is not None
+                else " [multiplicity]" if c.count is not None
+                else ""
+            )
             lines.append(f"  {c.name}{tag}{mult}: {_pred_sql(c.pred)}")
         return "\n".join(lines)
 
@@ -180,7 +191,8 @@ def _compile_property(
     out: List[RowCheck] = []
 
     def add(keyword: str, value, pred: Column, reason: str,
-            uses_python: bool = False, count: Optional[Column] = None):
+            uses_python: bool = False, count: Optional[Column] = None,
+            paths: Optional[Column] = None):
         out.append(
             RowCheck(
                 name=f"{path}.{keyword}",
@@ -192,7 +204,20 @@ def _compile_property(
                 pred=pred,
                 uses_python=uses_python,
                 count=count,
+                paths=paths,
             )
+        )
+
+    def _elem_index_paths(pred_fn, lo: Column, hi_exclusive: Column) -> Column:
+        """array<string> of "<path>.<i>" for elements in [lo, hi) whose
+        element predicate fails — per-element violation paths with the
+        runtime index, matching the reference's error paths."""
+        idx = F.when(
+            hi_exclusive > lo, F.sequence(lo, hi_exclusive - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bad = F.filter(idx, lambda i: ~pred_fn(F.element_at(e, i + 1)))
+        return F.transform(
+            bad, lambda i: F.concat(F.lit(path + "."), i.cast("string"))
         )
 
     # ---- type: resolved entirely at compile time --------------------------
@@ -306,7 +331,8 @@ def _compile_property(
             elem_pred = _subschema_pred(node.items_schema, dt.elementType)
             if elem_pred is not None:
                 add("items", node.keywords.get("items"), F.forall(e, elem_pred),
-                    "an element fails the items subschema")
+                    "an element fails the items subschema",
+                    paths=_elem_index_paths(elem_pred, F.lit(0), F.size(e)))
         if node.items_tuple is not None:
             # tuple form: element i checked only when present
             # (reference keywords.py:239-247); a present NULL element is
@@ -330,7 +356,8 @@ def _compile_property(
                 ep = _subschema_pred(ai, dt.elementType)
                 if ep is not None:
                     add("additionalItems", ai.raw, F.forall(extra, ep),
-                        f"an element beyond {n} fails the additionalItems subschema")
+                        f"an element beyond {n} fails the additionalItems subschema",
+                        paths=_elem_index_paths(ep, F.lit(n), F.size(e)))
 
     # ---- nested objects over StructType ------------------------------------
     if isinstance(dt, T.StructType):

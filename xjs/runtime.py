@@ -44,6 +44,21 @@ def violations(df: DataFrame, plan: CheckPlan, keep_cols=()) -> DataFrame:
             F.lit(c.reason).alias("reason"),
         )
         failed = c.pred.eqNullSafe(F.lit(False))  # NULL pred = vacuous pass
+        if c.paths is not None:
+            # per-instance paths (e.g. items: one row per failing
+            # element with the runtime index, keywords.py:227-237)
+            return F.when(
+                failed,
+                F.transform(
+                    c.paths,
+                    lambda p: F.struct(
+                        p.alias("path"),
+                        F.lit(c.keyword).alias("keyword"),
+                        F.lit(c.value_json).alias("value_json"),
+                        F.lit(c.reason).alias("reason"),
+                    ),
+                ),
+            )
         if c.count is None:
             return F.when(failed, F.array(payload))
         # multiplicity checks (e.g. uniqueItems: one violation per
@@ -111,11 +126,12 @@ def verdicts(df: DataFrame, plan: CheckPlan) -> DataFrame:
             F.sum(c.pred.isNotNull().cast("long")).alias(f"_n{i}")
         )
         failed = c.pred.eqNullSafe(F.lit(False))
-        viol = (
-            failed.cast("long")
-            if c.count is None
-            else F.when(failed, c.count.cast("long")).otherwise(F.lit(0))
-        )
+        if c.paths is not None:
+            viol = F.when(failed, F.size(c.paths).cast("long")).otherwise(F.lit(0))
+        elif c.count is not None:
+            viol = F.when(failed, c.count.cast("long")).otherwise(F.lit(0))
+        else:
+            viol = failed.cast("long")
         aggs.append(F.sum(viol).alias(f"_v{i}"))
     grouped = df.groupBy(part.cast("int").alias("partition_id")).agg(*aggs)
 
