@@ -192,3 +192,28 @@ def test_embedding_near_duplicates(spark, sf_dir):
     # nothing from the natural (near-orthogonal) corpus: every pair
     # involves an injected copy (vec_id >= 10_000)
     assert all(b >= 10_000 for a, b in out)
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """Binary-in/binary-out Arrow mechanics: fixed-size output buffers,
+    NULL propagation, deterministic content."""
+    from xjs.pipeline import multimodal as mm
+    from xjs.sources.webpages import webpages
+
+    wp = webpages(spark, sf_dir)
+    out = mm.resize_images(wp, width=4, height=4).collect()
+    assert len(out) == wp.count()
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 4)
+        if r["pixels"] is not None:
+            assert len(r["pixels"]) == 16
+    # null binary rows propagate as null rasters
+    n_null_in = wp.filter(F.col("html").isNull()).count()
+    assert sum(1 for r in out if r["pixels"] is None) == n_null_in
+    # deterministic: same inputs -> same buffers (urls can repeat, so
+    # compare as sorted multisets)
+    def key(rows):
+        return sorted((r["url"], bytes(r["pixels"]) if r["pixels"] is not None else None)
+                      for r in rows)
+
+    assert key(out) == key(mm.resize_images(wp, 4, 4).collect())

@@ -88,6 +88,39 @@ FROM webpages
 """
 
 
+RESIZE_SCHEMA = "url string, width int, height int, pixels binary"
+
+
+def resize_images(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image-resize plumbing: (url, width, height, pixels binary) via
+    mapInPandas.  A real implementation would decode + resample here
+    (PIL.Image.resize); the container has no image libs, so the raster
+    is a deterministic fake — the source bytes truncated or zero-padded
+    to exactly width*height — which keeps every Spark-side property
+    real and testable: binary-in/binary-out Arrow batches, fixed-size
+    output buffers, NULL propagation, narrow partition-preserving
+    execution."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_raster(b):
+            if b is None:
+                return None
+            return bytes(b[:target]).ljust(target, b"\x00")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf["html"].map(fake_raster),
+                }
+            )
+
+    return df.select("url", "html").mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode a (deterministic) frame
     index list per row; the decode of each frame is the stub.  Shows
