@@ -36,14 +36,25 @@ def violations(df: DataFrame, plan: CheckPlan, keep_cols=()) -> DataFrame:
     — one row per failed check per document.  Narrow: scan → project →
     explode.  ``keep_cols`` are carried through (e.g. an event-time
     column for streaming windows)."""
-    def entry(c):
-        payload = F.struct(
+    # single-instance checks keep the flat array<struct> + explode shape
+    # (no flatten, one fewer allocation per violating row — measurable
+    # at 16+ cores where the explode stage is GC-sensitive); the nested
+    # shape is built only when some check carries multiplicity
+    simple = all(c.count is None and c.paths is None for c in plan.checks)
+
+    def payload_of(c):
+        return F.struct(
             F.lit(c.path).alias("path"),
             F.lit(c.keyword).alias("keyword"),
             F.lit(c.value_json).alias("value_json"),
             F.lit(c.reason).alias("reason"),
         )
+
+    def entry(c):
+        payload = payload_of(c)
         failed = c.pred.eqNullSafe(F.lit(False))  # NULL pred = vacuous pass
+        if simple:
+            return F.when(failed, payload)
         if c.paths is not None:
             # per-instance paths (e.g. items: one row per failing
             # element with the runtime index, keywords.py:227-237)
@@ -98,7 +109,9 @@ def violations(df: DataFrame, plan: CheckPlan, keep_cols=()) -> DataFrame:
         part.cast("int").alias("partition_id"),
         *[F.col(c) for c in keep_cols],
         F.explode(
-            F.flatten(F.filter(F.array(*entries), lambda x: x.isNotNull()))
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+            if simple
+            else F.flatten(F.filter(F.array(*entries), lambda x: x.isNotNull()))
         ).alias("v"),
     )
     return exploded.select(
