@@ -54,3 +54,29 @@ def test_column_pruning(spark, lake):
     read_schema = s.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read_schema
     assert "html" not in read_schema  # binary column never read
+
+
+def test_static_object_queries_are_narrow_and_pruned(spark):
+    """The round-2 static queries (struct object keywords, complex
+    enum, uniqueItems multiplicity) must stay shuffle-free — pure
+    scan -> project -> explode — and prune the scan to exactly the
+    referenced columns."""
+    from xjs import dynamic_spark as ds
+
+    expected_cols = {
+        "static_struct_object": {"doc_id", "lang", "source", "n_chars"},
+        "static_enum_complex": {"doc_id", "lang", "source"},
+        "static_unique_items": {"doc_id", "text"},
+    }
+    for name, q in [
+        ("static_struct_object", ds.q_static_struct_object),
+        ("static_enum_complex", ds.q_static_enum_complex),
+        ("static_unique_items", ds.q_static_unique_items),
+    ]:
+        plan = _plan_str(q(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, f"{name} shuffles"
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == expected_cols[name], f"{name} reads {cols}"

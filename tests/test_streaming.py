@@ -156,3 +156,34 @@ def test_streaming_session_windows_equal_batch(spark, sf_dir, tmp):
         for r in sessionize(ev, "user_id", "ts", "ts").collect()
     }
     assert {(u, s, n) for u, s, _, n in got} == pipeline
+
+
+def test_streaming_exact_dedup_equals_batch(spark, sf_dir, tmp):
+    """dropDuplicatesWithinWatermark over two file batches == batch
+    dropDuplicates on the union: one surviving row per key."""
+    from xjs.streaming import stream_exact_dedup
+
+    wp = webpages(spark, sf_dir).select("url", "warc_ts", "doc_id")
+    wp.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/dd/b1")
+    wp.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/dd/b2")
+
+    stream = (
+        spark.readStream.schema(wp.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/dd")
+    )
+    q = (
+        stream_exact_dedup(stream, ["url"], "warc_ts")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql("select url from dedup_stream")
+    assert got.count() == got.distinct().count()  # no key emitted twice
+    assert {r["url"] for r in got.collect()} == {
+        r["url"] for r in wp.select("url").distinct().collect()
+    }

@@ -126,6 +126,27 @@ def session_stats(
     )
 
 
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    key_cols,
+    ts_col: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: the first row per key is emitted,
+    later arrivals of the same key are dropped for as long as the key
+    can still legally arrive (``dropDuplicatesWithinWatermark``).
+
+    State shape at scale: one entry per distinct key seen within the
+    watermark horizon — eviction is what makes exact dedup viable on an
+    unbounded stream (plain ``dropDuplicates`` on a stream accumulates
+    state forever).  The batch counterpart is
+    ``df.dropDuplicates(key_cols)`` / the exact_duplicates groupBy."""
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
