@@ -45,6 +45,38 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "user_id", "ts", "event_id")
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in ``F.session_window`` operator (batch form of the
+    streaming session aggregation in xjs.streaming.session_stats):
+    same gap semantics as ``sessionize`` ordered by event time, except
+    session_end is defined as last event + gap."""
+    from xjs.streaming import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, "user_id", "ts", gap=f"{GAP_MINUTES} minutes")
+
+
+ORACLE_SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {GAP_MINUTES * 60}
+                THEN 1 ELSE 0 END AS boundary
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {GAP_MINUTES} MINUTES AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 ORACLE_SESSIONIZE_SQL = f"""
 WITH flagged AS (
     SELECT user_id, ts, event_id,
