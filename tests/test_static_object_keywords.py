@@ -308,3 +308,37 @@ def test_additional_items_schema_indexed_paths(spark):
     plan = compile_static(schema, df.schema, id_col="id", partition_col=None)
     got = sorted(r["path"] for r in violations(df, plan).collect())
     assert got == ["a.2", "a.3"]
+
+
+def test_map_keyword_runtime_key_paths(spark):
+    """Map object keywords emit the runtime KEY in the violation path
+    (dynamic.py:307-315, 340-344), one row per failing key."""
+    schema = {
+        "properties": {
+            "m": {
+                "properties": {"fixed": {"minimum": 100}},
+                "patternProperties": {"^x_": {"minimum": 10}},
+                "additionalProperties": {"maximum": 0},
+            }
+        }
+    }
+    df = _mkdf(
+        spark,
+        [(0, {"fixed": 1, "x_a": 3, "x_b": 50, "other": 7, "neg": -1})],
+        "id long, m map<string, long>",
+    )
+    plan = compile_static(schema, df.schema, id_col="id", partition_col=None)
+    got = sorted((r["path"], r["keyword"]) for r in violations(df, plan).collect())
+    assert got == [
+        ("m.fixed", "properties"),       # fixed=1 < 100
+        ("m.other", "additionalProperties"),  # other=7 > 0
+        ("m.x_a", "patternProperties"),  # x_a=3 < 10
+    ]
+    # dynamic parity on paths (keyword grain differs: dynamic reports
+    # the inner keyword, static the object keyword — documented)
+    ev = build_evaluator(schema)
+    dyn_paths = sorted(
+        ".".join(["m"] + [str(p) for p in e["path"][1:]])
+        for e in ev({"m": {"fixed": 1, "x_a": 3, "x_b": 50, "other": 7, "neg": -1}})
+    )
+    assert dyn_paths == [p for p, _ in got]

@@ -204,7 +204,7 @@ WITH e AS (
            CAST(json_extract(props, '$.k') AS BIGINT) AS k
     FROM events
 )
-SELECT event_id AS id, 'propsmap' AS path, 'properties' AS keyword,
+SELECT event_id AS id, 'propsmap.k' AS path, 'properties' AS keyword,
        '{"k": {"type": "integer", "minimum": 5}}' AS value_json,
        'value of `k` fails its subschema' AS reason, partition_id
 FROM e WHERE k < 5

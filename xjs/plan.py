@@ -453,6 +453,15 @@ def _compile_property(
             for k in node.required:
                 add("required", node.required, F.map_contains_key(e, F.lit(k)),
                     f"missing required key `{k}`")
+        def key_paths(fail_fn) -> Column:
+            """array<string> of "<path>.<key>" for failing map entries —
+            the runtime-key violation paths the dynamic evaluator emits
+            (dynamic.py:307-315, 340-344)."""
+            return F.transform(
+                F.filter(F.map_entries(e), fail_fn),
+                lambda ent: F.concat(F.lit(path + "."), ent.getField("key")),
+            )
+
         for k, child in (node.properties or {}).items():
             # a present key with NULL value is JSON null: elem semantics
             child_pred = _subschema_pred_col(child, e.getItem(k), dt.valueType, elem=True)
@@ -460,7 +469,10 @@ def _compile_property(
                 add("properties", {k: child.raw},
                     F.when(F.map_contains_key(e, F.lit(k)),
                            F.coalesce(child_pred, F.lit(True))).otherwise(F.lit(True)),
-                    f"value of `{k}` fails its subschema")
+                    f"value of `{k}` fails its subschema",
+                    paths=F.when(
+                        F.map_contains_key(e, F.lit(k)), F.array(F.lit(f"{path}.{k}"))
+                    ).otherwise(F.array().cast("array<string>")))
         for pat, _rx, child in (node.pattern_properties or []):
             def mk_pp(pat, child):
                 def fn(ent):
@@ -468,9 +480,16 @@ def _compile_property(
                     base = ~ent.getField("key").rlike(f"^(?:{pat})")
                     return base if cp is None else (base | F.coalesce(cp, F.lit(True)))
                 return fn
+            def mk_fail(f):
+                # closure factory: no default-arg lambdas (pyspark
+                # counts lambda params) and no late binding
+                return lambda ent: ~f(ent)
+
+            ok_fn = mk_pp(pat, child)
             add("patternProperties", {pat: child.raw},
-                F.forall(F.map_entries(e), mk_pp(pat, child)),
-                f"a key matching /{pat}/ has an invalid value")
+                F.forall(F.map_entries(e), ok_fn),
+                f"a key matching /{pat}/ has an invalid value",
+                paths=key_paths(mk_fail(ok_fn)))
         if node.additional_properties is not None:
             declared = list((node.properties or {}).keys())
             pats = [p for p, _r, _c in (node.pattern_properties or [])]
@@ -498,7 +517,8 @@ def _compile_property(
 
                 add("additionalProperties", ap.raw,
                     F.forall(F.map_entries(e), unclaimed_ok),
-                    "an extra key's value fails the additionalProperties subschema")
+                    "an extra key's value fails the additionalProperties subschema",
+                    paths=key_paths(lambda ent: ~unclaimed_ok(ent)))
 
     # ---- composition (predicate algebra) ----------------------------------
     # A child pred that is NULL at runtime means every keyword in the
