@@ -82,7 +82,8 @@ def test_struct_dependencies(spark):
     schema = {"properties": {"o": {"dependencies": {"a": ["b"]}}}}
     got = _viol(spark, df, schema)
     assert 1 not in got
-    assert got[2] == {("o", "dependencies")}
+    # path carries the MISSING co-key (reference keywords.py:736-744)
+    assert got[2] == {("o.b", "dependencies")}
     assert 3 not in got
 
 

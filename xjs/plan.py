@@ -420,14 +420,22 @@ def _compile_property(
                 kind, payload = node.dependencies[k]
                 guard = e.getField(k).isNotNull() if k in sub_fields else F.lit(False)
                 if kind == "list":
-                    conj = F.lit(True)
+                    # one check per co-key, path carrying the MISSING
+                    # key (reference keywords.py:736-744; dynamic.py
+                    # _k_dependencies emits path + [item])
                     for co in payload:
-                        conj = conj & (
+                        present = (
                             e.getField(co).isNotNull() if co in sub_fields else F.lit(False)
                         )
-                    add("dependencies", node.keywords["dependencies"],
-                        F.when(e.isNotNull() & guard, conj).otherwise(F.lit(True)),
-                        f"`{k}` present but a dependent field is missing")
+                        out.append(RowCheck(
+                            name=f"{path}.{co}.dependencies",
+                            column=colname,
+                            path=f"{path}.{co}",
+                            keyword="dependencies",
+                            value_json=json.dumps(node.keywords["dependencies"]),
+                            reason=f"`{k}` present but dependent field `{co}` is missing",
+                            pred=F.when(e.isNotNull() & guard, present).otherwise(F.lit(True)),
+                        ))
                 else:
                     # schema-form: when `k` is present the WHOLE object
                     # must satisfy the subschema (keywords.py:746-768;
