@@ -246,10 +246,29 @@ def neardup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionAll(exact).unionAll(near)
 
 
-def embedding_near_duplicates(emb: DataFrame, threshold: float = COSINE_T) -> DataFrame:
+def embedding_near_duplicates(
+    emb: DataFrame, threshold: float = COSINE_T, max_bucket: int | None = None
+) -> DataFrame:
     """(vec_a, vec_b, cos): same-LSH-bucket pairs with exact cosine >=
-    threshold."""
+    threshold.
+
+    ``max_bucket`` is the skew guard for degenerate clusters (the same
+    role as MinHash's band-bucket cap): buckets above the cap are
+    dropped before the self-join — their pairwise candidates grow
+    quadratically while carrying no ranking information (route such
+    buckets to a cluster report instead of pairwise verification).  At
+    web scale, also raise N_PLANES so expected bucket size N/2^P stays
+    small."""
     b = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     left, right = b.alias("a"), b.alias("b")
     cands = left.join(
         right,
