@@ -1,5 +1,6 @@
 """Checkpoint/resume: kill-and-resume equivalence, idempotent re-run."""
 
+import os
 import shutil
 import tempfile
 
@@ -14,6 +15,7 @@ from xjs.sources.webpages import webpages
 
 @pytest.fixture()
 def out_dir():
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
     d = tempfile.mkdtemp(prefix="xjs-ckpt-", dir="/root/repo/.tmp")
     yield d
     shutil.rmtree(d, ignore_errors=True)
