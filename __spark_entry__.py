@@ -23,7 +23,18 @@ from xjs.flagship import (  # noqa: E402
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
 from xjs.checks import drift, monotonicity, referential, stats, uniqueness  # noqa: E402
-from xjs.pipeline import clusters, dedup, multimodal, select, sessions, similarity, text  # noqa: E402
+from xjs.pipeline import (  # noqa: E402
+    clusters,
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    select,
+    sessions,
+    similarity,
+    text,
+    urls,
+)
 from xjs import dynamic_spark, reports  # noqa: E402
 
 
@@ -62,7 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.q_text_quality,
         "text_langid": text.q_text_langid,
         "text_fingerprint": text.q_text_fingerprint,
+        "text_repetition": text.q_text_repetition,
         "multimodal_meta": multimodal.q_multimodal_meta,
+        "sample_bernoulli": sampling.q_sample_bernoulli,
+        "sample_stratified": sampling.q_sample_stratified,
+        "decontaminate": decontam.q_decontaminate,
+        "url_canonical_dedup": urls.q_url_canonical_dedup,
         # dynamic mode (Arrow pandas-UDF over JSON strings) + MapType static
         "dynamic_json_props": dynamic_spark.q_dynamic_props,
         "static_map_props": dynamic_spark.q_static_props_map,
@@ -108,7 +124,12 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": text.ORACLE_TEXT_QUALITY_SQL,
         "text_langid": text.oracle_text_langid_sql(),
         "text_fingerprint": text.oracle_text_fingerprint_sql(),
+        "text_repetition": text.oracle_text_repetition_sql(),
         "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
+        "sample_bernoulli": sampling.oracle_sample_bernoulli_sql(),
+        "sample_stratified": sampling.oracle_sample_stratified_sql(),
+        "decontaminate": decontam.oracle_decontaminate_sql(),
+        "url_canonical_dedup": urls.oracle_url_canonical_dedup_sql(DUCKDB_CTE),
         "dynamic_json_props": dynamic_spark.ORACLE_DYNAMIC_PROPS_SQL,
         "static_map_props": dynamic_spark.ORACLE_STATIC_PROPS_MAP_SQL,
         "static_composition": dynamic_spark.ORACLE_STATIC_COMPOSITION_SQL,

@@ -1,0 +1,86 @@
+"""Benchmark decontamination: flag training documents that share a
+token n-gram with an evaluation/benchmark set.
+
+The standard eval-contamination sweep (n-gram overlap a la GPT-3
+appendix / Dolma): build the set of distinct token ``NGRAM``-grams
+over the benchmark corpus, then scan the training corpus for documents
+containing any of them.
+
+Scale shape (the 100 TB story): benchmark suites are tiny (a few
+hundred MB of n-grams even for a large eval battery), so the gram set
+is a **broadcast** side; the corpus side is a linear per-doc gram
+explode (``array_distinct`` first, so each doc emits each gram once)
+followed by a broadcast semi-join — no corpus-side shuffle at all
+until the final per-doc hit count, which partial-aggregates map-side.
+The corpus never materializes more than one Arrow/codegen batch of
+grams per task.
+
+In this sandbox the "benchmark" is carved deterministically out of the
+documents table itself (``doc_id % BENCH_RESIDUE == 0``) so the query
+has an exact DuckDB oracle on driver-provided data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xjs.pipeline.text import token_ngrams
+
+NGRAM = 4           # gram width (tokens)
+BENCH_RESIDUE = 41  # doc_id % RESIDUE == 0 -> benchmark doc
+
+
+def doc_grams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              n: int = NGRAM) -> DataFrame:
+    """(id, gram) — one row per *distinct* gram per doc."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame, benchmark: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM,
+) -> DataFrame:
+    """(id, n_hit_grams) for every corpus doc sharing >= 1 token
+    n-gram with the benchmark set."""
+    bench_grams = doc_grams(benchmark, text_col, id_col, n).select("gram").distinct()
+    hits = doc_grams(corpus, text_col, id_col, n).join(
+        F.broadcast(bench_grams), "gram"
+    )
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit_grams"))
+
+
+# ---------------------------------------------------------------------------
+# driver query + oracle
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % BENCH_RESIDUE == 0)
+    corpus = d.filter(F.col("doc_id") % BENCH_RESIDUE != 0)
+    return contaminated_docs(corpus, bench)
+
+
+def oracle_decontaminate_sql() -> str:
+    w = NGRAM
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           list_aggregate(t[i:i+{w - 1}], 'string_agg', ' ') AS gram
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS r(i)
+),
+bench AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_RESIDUE} = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_hit_grams
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % {BENCH_RESIDUE} <> 0
+GROUP BY g.doc_id
+"""

@@ -1,0 +1,129 @@
+"""Deterministic sampling for training-data curation.
+
+Training-mix construction needs *reproducible* samples: the same
+corpus snapshot must yield the same subset on every run, regardless of
+partitioning, so downstream dedup/eval splits stay stable.  Spark's
+``df.sample`` is seed-stable only per-partitioning; these operators
+derive keep-decisions from a portable hash of the row's own id
+(``xjs.pipeline.hashing``), so the result is a pure function of the
+data and every query has an exact DuckDB oracle.
+
+Scale shapes (the 100 TB story):
+
+- ``hash_sample`` is a narrow filter fused into the parquet scan —
+  zero shuffle, trivially parallel at any cluster size.
+- ``stratified_quota`` (fixed-size per-group sample, e.g. "at most N
+  docs per language/domain") is a per-group top-``quota`` by hash
+  order.  A single ``row_number() OVER (PARTITION BY group)`` would
+  re-concentrate a dominant group (English is ~half the web) on one
+  reducer, so it uses the same two-stage salted cap as
+  ``xjs.checks.uniqueness.duplicate_key_evidence``: stage 1 ranks
+  within (group, salt) and keeps ``quota`` rows per bucket — every
+  global top-``quota`` row survives its bucket's cap — stage 2 ranks
+  the bounded ``quota * n_salts`` survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from xjs.pipeline.hashing import MOD, hash_params, rehash, rehash_sql
+
+
+def id_hash(col: Column, k: int = 0) -> Column:
+    """Portable deterministic hash of an integer id column."""
+    return rehash(col.cast("long"), k)
+
+
+def id_hash_sql(expr: str, k: int = 0) -> str:
+    return rehash_sql(expr, k)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, keep_num: int, keep_den: int, k: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli(keep_num/keep_den) sample: keep rows
+    whose id-hash bucket falls below the threshold.  Narrow — no
+    shuffle, no state; at scale this fuses into the scan and combines
+    with predicate pushdown on other filters."""
+    return df.filter(F.pmod(id_hash(F.col(id_col), k), F.lit(keep_den)) < keep_num)
+
+
+def stratified_quota(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    n_salts: int = 16,
+    k: int = 0,
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen by hash order (a
+    deterministic shuffle of each group).  Appends ``sample_rank``
+    (1-based position within the group's sample).
+
+    Two-stage skew-safe: no reducer ever holds more than
+    ``~rows(group)/n_salts`` of a hot group in stage 1, and stage 2
+    ranks at most ``quota * n_salts`` rows per group.
+    """
+    h = id_hash(F.col(id_col), k).alias("_h")
+    salted = df.select("*", h).withColumn(
+        "_salt", F.pmod(F.col("_h"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_h", id_col)
+    capped = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= quota)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        capped.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= quota)
+        .drop("_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver queries + oracles
+# ---------------------------------------------------------------------------
+
+BERNOULLI_NUM = 3
+BERNOULLI_DEN = 10
+QUOTA = 40
+
+
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(d, "doc_id", BERNOULLI_NUM, BERNOULLI_DEN).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def oracle_sample_bernoulli_sql() -> str:
+    h = id_hash_sql("doc_id")
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({h}) % {BERNOULLI_DEN} < {BERNOULLI_NUM}
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return stratified_quota(d, "lang", "doc_id", QUOTA)
+
+
+def oracle_sample_stratified_sql() -> str:
+    h = id_hash_sql("doc_id")
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ({h}), doc_id)
+               AS sample_rank
+    FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= {QUOTA}
+"""

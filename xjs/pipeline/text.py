@@ -39,6 +39,21 @@ def token_count(col: Column) -> Column:
     )
 
 
+def token_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined token n-grams; empty when the doc has
+    fewer than ``n`` tokens (guard required: Spark's ``sequence``
+    happily generates a descending range)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_chars, n_tokens, avg_token_len, stopword_ratio,
     punct_ratio, quality_score) — the classic cheap quality signals."""
@@ -185,4 +200,113 @@ SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
 FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def _max_equal_run(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements — a single
+    O(n) ``aggregate`` pass with a (prev, run, best) accumulator, the
+    same single-pass-fold shape as the minhash/simhash signatures (no
+    per-distinct-element rescan, so per-doc cost stays linear at
+    100 TB)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, merge, lambda acc: acc["best"])
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, dup_token_fraction, top_bigram_fraction,
+    max_token_run) — the classic repetition-based quality gates
+    (Gopher rules 'fraction of duplicate n-grams' family).
+
+    ``top_bigram_fraction`` = occurrences of the most frequent word
+    bigram / total bigrams, computed as the longest equal run of the
+    *sorted* bigram array — O(n log n) per doc, never per-distinct
+    rescans.  All pure Catalyst; at scale this is a narrow map stage
+    fused into the corpus scan like ``quality_features``."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = token_count(t)
+    dup_frac = F.when(n_tokens <= 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(toks)) / n_tokens, 4)
+    )
+    bigrams = token_ngrams(t, 2)
+    n_bigrams = F.size(bigrams)
+    top_bg = F.when(n_bigrams <= 0, F.lit(0.0)).otherwise(
+        F.round(_max_equal_run(F.array_sort(bigrams)) / n_bigrams, 4)
+    )
+    max_run = F.when(n_tokens <= 0, F.lit(0)).otherwise(_max_equal_run(toks))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        dup_frac.alias("dup_token_fraction"),
+        top_bg.alias("top_bigram_fraction"),
+        max_run.alias("max_token_run"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_features(d)
+
+
+def oracle_text_repetition_sql() -> str:
+    return """
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, i, t[i] AS tok
+    FROM base, unnest(range(1, len(t) + 1)) AS r(i)
+    WHERE n_tokens > 0
+),
+islands AS (
+    SELECT doc_id, tok,
+           i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+    FROM tok
+),
+runlen AS (
+    SELECT doc_id, MAX(c) AS max_run FROM (
+        SELECT doc_id, tok, grp, COUNT(*) AS c FROM islands GROUP BY 1, 2, 3
+    ) GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id, list_aggregate(t[i:i+1], 'string_agg', ' ') AS g
+    FROM base, unnest(range(1, len(t))) AS r(i)
+    WHERE n_tokens >= 2
+),
+bgstats AS (
+    SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CASE WHEN b.n_tokens <= 0 THEN 0.0
+            ELSE ROUND(1 - len(list_distinct(b.t)) / b.n_tokens::DOUBLE, 4)
+       END AS dup_token_fraction,
+       COALESCE(ROUND(s.top_c / s.n_bg::DOUBLE, 4), 0.0) AS top_bigram_fraction,
+       COALESCE(r.max_run, 0) AS max_token_run
+FROM base b
+LEFT JOIN runlen r USING (doc_id)
+LEFT JOIN bgstats s USING (doc_id)
 """
