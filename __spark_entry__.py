@@ -16,8 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from xjs.flagship import (  # noqa: E402
+    flagship_quarantine_clean,
+    flagship_quarantine_dirty,
     flagship_verdicts,
     flagship_violations,
+    oracle_quarantine_clean_sql,
+    oracle_quarantine_dirty_sql,
     oracle_verdicts_sql,
     oracle_violations_sql,
 )
@@ -48,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema validation (static Catalyst plan)
         "webpages_violations": flagship_violations,
         "webpages_verdicts": flagship_verdicts,
+        "quarantine_dirty": flagship_quarantine_dirty,
+        "quarantine_clean": flagship_quarantine_clean,
         # engine constraint classes (north_star)
         "stats_single_pass": lambda s, d: stats.webpages_stats(s, d, mode="exact"),
         "uniqueness_url": uniqueness.webpages_duplicate_urls,
@@ -101,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "webpages_violations": oracle_violations_sql(DUCKDB_CTE),
         "webpages_verdicts": oracle_verdicts_sql(DUCKDB_CTE),
+        "quarantine_dirty": oracle_quarantine_dirty_sql(DUCKDB_CTE),
+        "quarantine_clean": oracle_quarantine_clean_sql(DUCKDB_CTE),
         "stats_single_pass": stats.oracle_webpages_stats_sql(DUCKDB_CTE),
         "uniqueness_url": uniqueness.oracle_duplicate_urls_sql(DUCKDB_CTE),
         "uniqueness_evidence": uniqueness.oracle_duplicate_evidence_sql(DUCKDB_CTE),

@@ -149,3 +149,32 @@ def test_evidence_two_stage_cap_hot_key(spark):
     assert max_bucket <= 3
     per_key_rows = capped.groupBy("url").count().agg(F.max("count")).first()[0]
     assert per_key_rows <= 3 * 64
+
+
+def test_quarantine_partitions_the_input(spark, sf_dir):
+    """clean + dirty is a disjoint exact cover of the input; clean
+    keeps the input schema; dirty carries sorted check names."""
+    from xjs.flagship import compile_plan
+    from xjs.runtime import quarantine
+    from xjs.sources.webpages import webpages
+
+    wp = webpages(spark, sf_dir)
+    clean, dirty = quarantine(wp, compile_plan(wp))
+    assert clean.schema == wp.schema
+    n = wp.count()
+    nc, nd = clean.count(), dirty.count()
+    assert nc + nd == n and nd > 0
+    clean_ids = {r["url"] for r in clean.select("url").collect()}
+    dirty_ids = {r["id"] for r in dirty.select("id").collect()}
+    # (dup urls exist: compare as sets of ids per side, no overlap of rows)
+    for r in dirty.collect():
+        names = r["failed_checks"].split(",")
+        assert names == sorted(names) and len(names) == r["n_failed"]
+    # a row failing the lang enum is quarantined with that check named
+    assert any("lang.enum" in r["failed_checks"] for r in dirty.collect())
+    # no id appears on both sides unless the duplicate-url fixture put
+    # distinct rows of the same url in different verdict classes
+    both = clean_ids & dirty_ids
+    dup_urls = {u for (u,) in wp.groupBy("url").count().filter("count > 1")
+                .select("url").collect()}
+    assert both <= dup_urls

@@ -108,3 +108,44 @@ def flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wp = webpages(spark, sf_dir)
     return verdicts(wp, compile_plan(wp))
+
+
+def flagship_quarantine_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xjs.runtime import quarantine
+
+    wp = webpages(spark, sf_dir)
+    return quarantine(wp, compile_plan(wp))[1]
+
+
+def flagship_quarantine_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xjs.runtime import quarantine
+
+    wp = webpages(spark, sf_dir)
+    clean = quarantine(wp, compile_plan(wp))[0]
+    return clean.select("url", "partition_id")
+
+
+def oracle_quarantine_dirty_sql(cte: str) -> str:
+    cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{p}.{k}' END"
+        for p, k, vj, r, cond, _app in ORACLE_CHECKS
+    )
+    return f"""
+WITH {cte},
+flags AS (
+    SELECT url AS id, partition_id,
+           list_sort(list_filter([{cases}], x -> x IS NOT NULL)) AS fl
+    FROM webpages
+)
+SELECT id, partition_id, array_to_string(fl, ',') AS failed_checks,
+       len(fl) AS n_failed
+FROM flags WHERE len(fl) > 0
+"""
+
+
+def oracle_quarantine_clean_sql(cte: str) -> str:
+    any_fail = " OR ".join(f"({cond})" for _p, _k, _vj, _r, cond, _a in ORACLE_CHECKS)
+    return f"""
+WITH {cte}
+SELECT url, partition_id FROM webpages WHERE NOT ({any_fail})
+"""

@@ -174,5 +174,49 @@ def run_plan(df: DataFrame, plan: CheckPlan) -> RunResult:
     return RunResult(violations=df.transform(violations, plan), verdicts=verdicts(df, plan))
 
 
+def quarantine(df: DataFrame, plan: CheckPlan):
+    """Single-pass row routing (the expect-or-quarantine pattern):
+    returns ``(clean, dirty)`` where ``clean`` keeps the input schema
+    (rows passing every check) and ``dirty`` is
+    (id, partition_id, failed_checks, n_failed) with the sorted
+    comma-joined names of the checks each row failed.
+
+    Both sides are narrow filters over the same codegen'd predicate
+    set — Catalyst evaluates the shared subexpressions once per side
+    and neither shuffles; writing the two sides to separate sinks
+    costs two scans (or one with ``df.persist()`` when the input is
+    not a re-readable source)."""
+    part = (
+        F.col(plan.partition_col)
+        if plan.partition_col
+        else F.spark_partition_id()
+    )
+    failed_names = F.array_sort(
+        F.filter(
+            F.array(*[
+                F.when(c.pred.eqNullSafe(F.lit(False)), F.lit(c.name))
+                for c in plan.checks
+            ]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    clean = df.filter(plan.pass_all())
+    if not plan.checks:
+        dirty = df.limit(0).select(
+            F.col(plan.id_col).alias("id"),
+            F.lit(0).alias("partition_id"),
+            F.lit("").alias("failed_checks"),
+            F.lit(0).alias("n_failed"),
+        )
+        return clean, dirty
+    dirty = df.filter(~plan.pass_all()).select(
+        F.col(plan.id_col).alias("id"),
+        part.cast("int").alias("partition_id"),
+        F.array_join(failed_names, ",").alias("failed_checks"),
+        F.size(failed_names).alias("n_failed"),
+    )
+    return clean, dirty
+
+
 def _sql_escape(s: str) -> str:
     return s.replace("'", "''")
