@@ -45,7 +45,7 @@ def build_queries(spark, sf_dir: str, factor: int):
     """name -> df_factory for the headline set."""
     from xjs.checks import drift, monotonicity, referential, stats, uniqueness
     from xjs.flagship import compile_plan
-    from xjs.pipeline import dedup, similarity, text
+    from xjs.pipeline import decontam, dedup, sampling, similarity, text, urls
     from xjs.runtime import verdicts, violations
 
     wp_path = materialize(spark, sf_dir, factor)
@@ -108,6 +108,26 @@ def build_queries(spark, sf_dir: str, factor: int):
     def q_similarity():
         return similarity.brute_force_topk(spark, sf_dir)
 
+    def q_decontam():
+        # production composition: exact-collapse first (same first stage
+        # as the minhash pipeline — decontamination always runs over the
+        # deduplicated corpus), then benchmark-gram broadcast semi-join
+        docs = wp().select("doc_id", "text")
+        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        corpus = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE != 0)
+        bench = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE == 0)
+        return decontam.contaminated_docs(corpus, bench)
+
+    def q_stratified():
+        return sampling.stratified_quota(
+            wp().select("doc_id", "lang"), "lang", "doc_id", 1000
+        )
+
+    def q_canonical():
+        return urls.canonical_groups(
+            wp().select("doc_id", "url"), "url", "doc_id"
+        )
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -128,6 +148,9 @@ def build_queries(spark, sf_dir: str, factor: int):
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
         "similarity_topk": q_similarity,
+        "decontaminate": q_decontam,
+        "sample_stratified": q_stratified,
+        "url_canonical_dedup": q_canonical,
         "dynamic_json_udf": q_dynamic_udf,
     }
 
