@@ -6,6 +6,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
+# scratch dir for mkdtemp fixtures (the round driver cleans it between rounds)
+os.makedirs(os.path.join(REPO, ".tmp"), exist_ok=True)
+
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 if REFERENCE not in sys.path:

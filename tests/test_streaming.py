@@ -187,3 +187,31 @@ def test_streaming_exact_dedup_equals_batch(spark, sf_dir, tmp):
     assert {r["url"] for r in got.collect()} == {
         r["url"] for r in wp.select("url").distinct().collect()
     }
+
+
+def test_streaming_quarantine_equals_batch(spark, sf_dir, tmp):
+    """foreachBatch two-sink routing == batch quarantine on both sides."""
+    from xjs.runtime import quarantine
+    from xjs.streaming import run_quarantine_availablenow
+
+    wp = webpages(spark, sf_dir)
+    plan = compile_plan(wp)
+    wp.filter(F.col("partition_id") < 8).write.parquet(f"{tmp}/in/batch1")
+    wp.filter(F.col("partition_id") >= 8).write.parquet(f"{tmp}/in/batch2")
+
+    stream = (
+        spark.readStream.schema(wp.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+    )
+    run_quarantine_availablenow(
+        stream, plan, f"{tmp}/clean", f"{tmp}/dirty", f"{tmp}/ckpt"
+    )
+
+    b_clean, b_dirty = quarantine(wp, plan)
+    s_clean = spark.read.parquet(f"{tmp}/clean")
+    s_dirty = spark.read.parquet(f"{tmp}/dirty")
+    assert s_clean.count() == b_clean.count()
+    assert s_clean.exceptAll(b_clean.select(s_clean.columns)).count() == 0
+    assert s_dirty.count() == b_dirty.count()
+    assert s_dirty.exceptAll(b_dirty.select(s_dirty.columns)).count() == 0

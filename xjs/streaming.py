@@ -147,6 +147,44 @@ def stream_exact_dedup(
     )
 
 
+def run_quarantine_availablenow(
+    stream_df: DataFrame,
+    plan: CheckPlan,
+    clean_path: str,
+    dirty_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of ``runtime.quarantine``: route every
+    micro-batch into a clean sink (input schema) and a dirty sink
+    (id, partition_id, failed_checks, n_failed) in one pass.
+
+    ``foreachBatch`` + per-batch ``persist`` scans each micro-batch
+    once for both sides.  The streaming checkpoint makes batch
+    *delivery* exactly-once; the two appends inside the batch are
+    idempotent only per-batch-id — a production sink would write
+    batch-id-stamped files (or MERGE on Iceberg) for full
+    exactly-once, which is exactly what the batch
+    ``CheckpointedRun`` manifest protocol does."""
+    from xjs.runtime import quarantine
+
+    def route(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            clean, dirty = quarantine(batch_df, plan)
+            clean.write.mode("append").parquet(clean_path)
+            dirty.write.mode("append").parquet(dirty_path)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
