@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--batches", type=int, default=1)
     ap.add_argument("--skip-engine-checks", action="store_true")
+    ap.add_argument(
+        "--quarantine", action="store_true",
+        help="also route rows: clean rows -> <out>/clean, violating "
+             "rows + failed-check names -> <out>/dirty",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("xjs-validate-webpages").getOrCreate()
@@ -64,6 +69,15 @@ def main() -> None:
         "partitions_processed": report.partitions_processed,
         "n_violations": run.violations().count(),
     }
+
+    if args.quarantine:
+        from xjs.runtime import quarantine as _quarantine
+
+        clean, dirty = _quarantine(wp, plan)
+        clean.write.mode("overwrite").parquet(f"{args.out}/clean")
+        dirty.write.mode("overwrite").parquet(f"{args.out}/dirty")
+        summary["n_clean"] = spark.read.parquet(f"{args.out}/clean").count()
+        summary["n_quarantined"] = spark.read.parquet(f"{args.out}/dirty").count()
 
     if not args.skip_engine_checks:
         eng = {}

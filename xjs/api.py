@@ -50,6 +50,22 @@ def validate(
     return ValidationResult(res.violations, res.verdicts, plan)
 
 
+def quarantine(
+    df: DataFrame,
+    schema: dict,
+    id_col: str,
+    partition_col: Optional[str] = None,
+):
+    """Compile ``schema`` and split ``df`` into (clean, dirty): clean
+    keeps the input schema, dirty is (id, partition_id, failed_checks,
+    n_failed) — the expect-or-quarantine pattern for routing rows to
+    separate sinks."""
+    from xjs.runtime import quarantine as _quarantine
+
+    plan = compile_static(schema, df.schema, id_col=id_col, partition_col=partition_col)
+    return _quarantine(df, plan)
+
+
 def validate_json_column(
     df: DataFrame, schema: dict, json_col: str, id_col: str
 ) -> DataFrame:
