@@ -31,6 +31,7 @@ from xjs.pipeline import (  # noqa: E402
     clusters,
     decontam,
     dedup,
+    domains,
     multimodal,
     sampling,
     select,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sampling.q_sample_stratified,
         "decontaminate": decontam.q_decontaminate,
         "url_canonical_dedup": urls.q_url_canonical_dedup,
+        "domain_reputation": domains.q_domain_reputation,
         # dynamic mode (Arrow pandas-UDF over JSON strings) + MapType static
         "dynamic_json_props": dynamic_spark.q_dynamic_props,
         "static_map_props": dynamic_spark.q_static_props_map,
@@ -138,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": sampling.oracle_sample_stratified_sql(),
         "decontaminate": decontam.oracle_decontaminate_sql(),
         "url_canonical_dedup": urls.oracle_url_canonical_dedup_sql(DUCKDB_CTE),
+        "domain_reputation": domains.oracle_domain_reputation_sql(DUCKDB_CTE),
         "dynamic_json_props": dynamic_spark.ORACLE_DYNAMIC_PROPS_SQL,
         "static_map_props": dynamic_spark.ORACLE_STATIC_PROPS_MAP_SQL,
         "static_composition": dynamic_spark.ORACLE_STATIC_COMPOSITION_SQL,

@@ -138,3 +138,28 @@ def test_url_canonical_dedup_groups(spark, sf_dir):
         assert "://www." not in r["canonical_url"]
     # at least one group exists where messy raw variants collapsed
     assert any(r["n_distinct_raw"] >= 2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# domain reputation
+# ---------------------------------------------------------------------------
+
+def test_domain_profile_single_aggregation(spark, sf_dir):
+    from xjs.pipeline import domains
+
+    out = domains.q_domain_reputation(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["clean_rate"] <= 1.0
+        assert r["n_urls"] <= r["n_docs"]
+        assert r["reputable"] == (
+            r["clean_rate"] >= domains.MIN_CLEAN_RATE
+            and r["mean_quality"] >= domains.MIN_MEAN_QUALITY
+        )
+    # both verdict classes exist on the injected fixture corpus
+    assert {r["reputable"] for r in rows} == {True, False}
+    # one aggregate pass: a single shuffle round for the main agg
+    # (countDistinct adds the expand two-phase, still one logical agg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan

@@ -54,6 +54,45 @@ def token_ngrams(col: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def quality_score(t: Column) -> Column:
+    """The combined per-row quality score (same arithmetic as
+    ``quality_features``; kept in lock-step with
+    ``quality_score_sql``)."""
+    toks = tokens(t)
+    n_tokens = token_count(t)
+    n_chars = F.length(t)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)).cast("double"), 4)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (1 - punct_ratio) * 0.2,
+        4,
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    """DuckDB per-row equivalent of ``quality_score`` for any text
+    expression."""
+    n_tokens = (
+        f"(CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END)"
+    )
+    n_stop = (
+        f"len(list_filter(regexp_split_to_array(trim({expr}), '\\s+'), "
+        f"x -> list_contains({STOPWORDS!r}, x)))"
+    )
+    n_punct = f"(length({expr}) - length(regexp_replace({expr}, '[.,;:!?]', '', 'g')))"
+    stop_ratio = f"ROUND({n_stop} / GREATEST({n_tokens}, 1)::DOUBLE, 4)"
+    punct_ratio = f"ROUND({n_punct} / GREATEST(length({expr}), 1)::DOUBLE, 4)"
+    return (
+        f"ROUND(LEAST({n_tokens} / 100.0, 1.0) * 0.4 + {stop_ratio} * 0.4 "
+        f"+ (1 - {punct_ratio}) * 0.2, 4)"
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_chars, n_tokens, avg_token_len, stopword_ratio,
     punct_ratio, quality_score) — the classic cheap quality signals."""
@@ -70,12 +109,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)).cast("double"), 4)
     n_punct = F.length(t) - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
-    score = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
-        + stop_ratio * 0.4
-        + (1 - punct_ratio) * 0.2,
-        4,
-    )
+    score = quality_score(t)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
