@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_simhash_pairs": dedup.q_dedup_simhash_pairs,
+        "dedup_substring": dedup.q_dedup_substring,
         "similarity_topk_bruteforce": similarity.brute_force_topk,
         "similarity_lsh_buckets": similarity.lsh_buckets,
         "similarity_lsh_topk": similarity.lsh_topk,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.oracle_dedup_minhash_sql(),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(),
         "dedup_simhash_pairs": dedup.oracle_dedup_simhash_pairs_sql(),
+        "dedup_substring": dedup.oracle_dedup_substring_sql(),
         "similarity_topk_bruteforce": similarity.oracle_brute_force_sql(),
         "similarity_lsh_buckets": similarity.oracle_lsh_buckets_sql(),
         "similarity_lsh_topk": similarity.oracle_lsh_topk_sql(),

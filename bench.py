@@ -118,6 +118,14 @@ def build_queries(spark, sf_dir: str, factor: int):
         bench = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE == 0)
         return decontam.contaminated_docs(corpus, bench)
 
+    def q_substring():
+        # collapse-first composition + native hashed gram keys (the
+        # 100 TB shape; the portable string-gram path exists for the
+        # SQL oracle)
+        docs = wp().select("doc_id", "text")
+        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        return dedup.substring_duplicates(d, hash_mode="native")
+
     def q_stratified():
         return sampling.stratified_quota(
             wp().select("doc_id", "lang"), "lang", "doc_id", 1000
@@ -149,6 +157,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "text_quality": q_text_quality,
         "similarity_topk": q_similarity,
         "decontaminate": q_decontam,
+        "dedup_substring": q_substring,
         "sample_stratified": q_stratified,
         "url_canonical_dedup": q_canonical,
         "dynamic_json_udf": q_dynamic_udf,

@@ -217,6 +217,24 @@ partial aggregation, referential joins broadcast the dimension.
 See the driver-recorded `BENCH_r{{N}}.json` (produced by `bench.py`,
 local[32], factor 200 ⇒ 1M docs) for the full headline suite.
 
+## Data-size linearity (round 2, local[32], quiet machine, best-of-2)
+
+Same ops at factor 200 (1M docs, 64 files) vs factor 2000 (10M docs,
+128 files), identical code:
+
+| op | 1M docs | 10M docs | 10× data costs |
+|---|---|---|---|
+| flagship violations | 2.97 s | 4.55 s | 1.5× (2.2M docs/sec at 10M) |
+| flagship verdicts | 2.52 s | 2.30 s | ~1× (agg overhead-dominated) |
+| minhash pipeline | 5.6 s | 3.92 s | ~1× (exact-collapse bounds the LSH stage) |
+
+Takeaway: at 1M rows the suite mostly measures fixed stage/JIT
+overhead; per-row cost is flat into the tens of millions, which is
+the regime that matters for the 10^12-row extrapolation. (Timings on
+this shared VM swing ~2-3× run-to-run under noisy neighbors — single
+bench numbers should be read against that noise floor; best-of-N
+within one JVM is the protocol everywhere.)
+
 ## Reference baseline
 
 The reference publishes no numbers (BASELINE.md): the comparison

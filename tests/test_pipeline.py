@@ -217,3 +217,27 @@ def test_multimodal_resize_plumbing(spark, sf_dir):
                       for r in rows)
 
     assert key(out) == key(mm.resize_images(wp, 4, 4).collect())
+
+
+def test_substring_duplicates_flags_injected(spark, sf_dir):
+    """Exact copies and appended-tail near-dups share >=16-token
+    windows with their base doc, so every copy is flagged with an
+    owner no later than its base.  (Base docs themselves can also be
+    flagged: the corpus generator genuinely repeats multi-token spans
+    across docs — those are true positives, verified by the DuckDB
+    oracle.)"""
+    out = {r["doc_id"]: r for r in dedup.q_dedup_substring(spark, sf_dir).collect()}
+    base = dedup.dedup_corpus(spark, sf_dir)
+    n_toks = {r["doc_id"]: r["n"] for r in base.select(
+        "doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n")).collect()}
+    for i in range(0, 500, 60):         # exact copies
+        if n_toks[i] >= dedup.SUBSTR_W:
+            r = out[i + 2_000_000]
+            assert r["earliest_owner"] <= i
+            # all of the copy's (distinct) windows are shared with its base
+            assert r["n_shared_windows"] >= 1
+    for i in range(0, 500, 40):         # near-dups (tail appended)
+        if n_toks[i] >= dedup.SUBSTR_W:
+            assert out[i + 1_000_000]["earliest_owner"] <= i
+    # every flagged doc points at a strictly earlier owner
+    assert all(r["earliest_owner"] < d for d, r in out.items())
