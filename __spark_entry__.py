@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline compositions
         "dedup_clusters": clusters.q_dedup_clusters,
         "select_training": select.q_select_training,
+        "curate_corpus": select.q_curate_corpus,
         "sessionize_events": sessions.q_sessionize_events,
         "session_window_stats": sessions.q_session_window_stats,
     }
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": clusters.oracle_dedup_clusters_sql(),
         "select_training": select.oracle_select_training_sql(),
+        "curate_corpus": select.oracle_curate_corpus_sql(),
         "sessionize_events": sessions.ORACLE_SESSIONIZE_SQL,
         "session_window_stats": sessions.ORACLE_SESSION_WINDOW_SQL,
     }

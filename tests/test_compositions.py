@@ -65,3 +65,27 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         clusters.connected_components(pairs, max_iters=2)
+
+
+def test_curate_corpus_is_subset_with_gates(spark, sf_dir):
+    """The full funnel keeps only exact-survivors that are neither
+    substring-duplicates nor contaminated nor low-quality."""
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline import select
+    from xjs.pipeline.decontam import BENCH_RESIDUE
+    from xjs.pipeline.dedup import dedup_corpus, substring_duplicates
+
+    out = select.q_curate_corpus(spark, sf_dir)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept, "funnel must keep something"
+    # subset of the quality-only selection
+    base = {r["doc_id"] for r in select.q_select_training(spark, sf_dir).collect()}
+    assert kept <= base
+    # no benchmark docs, no substring duplicates
+    assert not any(d % BENCH_RESIDUE == 0 for d in kept)
+    corpus = dedup_corpus(spark, sf_dir)
+    survivors = corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    dup_ids = {r["doc_id"] for r in substring_duplicates(
+        corpus.join(survivors.select("doc_id"), "doc_id")).select("doc_id").collect()}
+    assert kept.isdisjoint(dup_ids)
