@@ -163,3 +163,20 @@ def test_domain_profile_single_aggregation(spark, sf_dir):
     # (countDistinct adds the expand two-phase, still one logical agg)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="Hello, world! It's 42."),
+        Row(doc_id=2, text="plain words only here"),
+        Row(doc_id=3, text=""),
+    ])
+    got = {r["doc_id"]: (r["n_ws"], r["n_bpe"]) for r in df.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_ws"),
+        text.token_count_bpe(F.col("text")).alias("n_bpe"),
+    ).collect()}
+    # "Hello , world ! It ' s 42 ." = 9 BPE-ish tokens vs 4 whitespace
+    assert got[1] == (4, 9)
+    assert got[2] == (4, 4)
+    assert got[3] == (0, 0)

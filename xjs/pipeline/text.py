@@ -344,3 +344,42 @@ FROM base b
 LEFT JOIN runlen r USING (doc_id)
 LEFT JOIN bgstats s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+#: GPT-2-flavored pre-tokenizer classes: letter runs, digit runs, single
+#: non-alnum marks.  RE2-compatible so the DuckDB oracle runs the same
+#: pattern byte-identically.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer — the budget number
+    a training pipeline actually bills by (whitespace counts
+    undercount punctuation-heavy web text).  Pure Catalyst
+    (`regexp_extract_all`), fused into the scan like every other text
+    signal."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_ws_tokens"),
+        token_count_bpe(t).alias("n_bpe_tokens"),
+    )
+
+
+def oracle_text_tokens_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
