@@ -215,3 +215,56 @@ def test_streaming_quarantine_equals_batch(spark, sf_dir, tmp):
     assert s_clean.exceptAll(b_clean.select(s_clean.columns)).count() == 0
     assert s_dirty.count() == b_dirty.count()
     assert s_dirty.exceptAll(b_dirty.select(s_dirty.columns)).count() == 0
+
+
+def test_streaming_drift_histogram_equals_batch(spark, sf_dir, tmp):
+    """Watermarked windowed histogram == batch histogram on every
+    window the watermark closed; PSI over the sink runs the SAME batch
+    math as the partition-keyed check."""
+    from xjs.checks import drift
+    from xjs.streaming import stream_drift_histogram
+
+    wp = webpages(spark, sf_dir)
+    wp.filter(F.col("partition_id") < 8).write.parquet(f"{tmp}/in/b1")
+    wp.filter(F.col("partition_id") >= 8).write.parquet(f"{tmp}/in/b2")
+
+    stream = (
+        spark.readStream.schema(wp.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+    )
+    hist = stream_drift_histogram(
+        stream, F.length("text"), "warc_ts",
+        drift.TEXT_LEN_LO, drift.TEXT_LEN_HI, drift.N_BUCKETS,
+    )
+    q = (
+        hist.writeStream.format("parquet")
+        .option("path", f"{tmp}/hist")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{tmp}/hist")
+    assert got.count() > 0
+
+    # batch twin: same windows via F.window on the static table,
+    # restricted to windows the watermark closed (end <= max event ts)
+    max_ts = wp.agg(F.max("warc_ts")).first()[0]
+    batch = (
+        drift.histogram(
+            wp.withColumn("window", F.window("warc_ts", "2 minutes")),
+            F.length("text"), "window",
+            drift.TEXT_LEN_LO, drift.TEXT_LEN_HI, drift.N_BUCKETS,
+        )
+        .filter(F.col("window.end") <= max_ts)
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch.select(got.columns)).count() == 0
+
+    # the PSI stage is the identical batch operator, windows as keys
+    base = got.groupBy("bucket").agg(F.sum("n").alias("n"))
+    psi = drift.psi(got, base, "window", drift.N_BUCKETS)
+    assert psi.count() == got.select("window").distinct().count()

@@ -147,6 +147,41 @@ def stream_exact_dedup(
     )
 
 
+def stream_drift_histogram(
+    stream_df: DataFrame,
+    value,
+    ts_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    window: str = "2 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``xjs.checks.drift.histogram``: per
+    (event-time window, bucket) counts with watermark-bounded state.
+    Append mode emits each window's final histogram once the watermark
+    passes its end — the windows still open when the stream drains stay
+    in state (standard append-mode semantics), so a monitoring job
+    compares CLOSED windows against the baseline.
+
+    PSI/KS against a baseline snapshot is then plain batch math over
+    the sink (``drift.psi(hist, baseline, "window")``) — the same
+    code path as the batch check, windows standing in for partitions.
+    """
+    from xjs.checks.drift import bucketize
+
+    src = stream_df.withWatermark(ts_col, watermark)
+    return (
+        src.select(
+            F.window(F.col(ts_col), window).alias("window"),
+            bucketize(value, lo, hi, n_buckets).alias("bucket"),
+        )
+        .groupBy("window", "bucket")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
 def run_quarantine_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
