@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_assign": similarity.ivf_assignments,
         "similarity_ivf_topk": similarity.ivf_topk,
         "dedup_embedding": similarity.q_dedup_embedding,
+        "similarity_pq_codes": similarity.pq_codes,
+        "similarity_pq_topk": similarity.pq_topk,
         "text_quality": text.q_text_quality,
         "text_langid": text.q_text_langid,
         "text_fingerprint": text.q_text_fingerprint,
@@ -135,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_assign": similarity.oracle_ivf_assignments_sql(),
         "similarity_ivf_topk": similarity.oracle_ivf_topk_sql(),
         "dedup_embedding": similarity.oracle_dedup_embedding_sql(),
+        "similarity_pq_codes": similarity.oracle_pq_codes_sql(),
+        "similarity_pq_topk": similarity.oracle_pq_topk_sql(),
         "text_quality": text.ORACLE_TEXT_QUALITY_SQL,
         "text_langid": text.oracle_text_langid_sql(),
         "text_fingerprint": text.oracle_text_fingerprint_sql(),

@@ -241,3 +241,31 @@ def test_substring_duplicates_flags_injected(spark, sf_dir):
             assert out[i + 1_000_000]["earliest_owner"] <= i
     # every flagged doc points at a strictly earlier owner
     assert all(r["earliest_owner"] < d for d, r in out.items())
+
+
+def test_pq_codes_and_adc_recall(spark, sf_dir):
+    """PQ codes are bounded per subspace; ADC top-k overlaps
+    meaningfully with exact brute-force neighbors (4x16-dim codebooks
+    at K=8 are coarse, so require overlap, not equality)."""
+    codes = similarity.pq_codes(spark, sf_dir)
+    n_vecs = codes.select("vec_id").distinct().count()
+    assert codes.count() == n_vecs * similarity.M_PQ
+    assert codes.filter(
+        (F.col("code") < 0) | (F.col("code") >= similarity.K_PQ)
+    ).count() == 0
+
+    pq = similarity.pq_topk(spark, sf_dir).collect()
+    exact = similarity.brute_force_topk(spark, sf_dir).collect()
+    pq_sets = {}
+    for r in pq:
+        pq_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ex_sets = {}
+    for r in exact:
+        ex_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(pq_sets) == set(ex_sets)
+    # per-query ranks are dense 1..k
+    for q, s in pq_sets.items():
+        assert len(s) == similarity.TOP_K
+    overlap = sum(len(pq_sets[q] & ex_sets[q]) for q in ex_sets)
+    total = sum(len(ex_sets[q]) for q in ex_sets)
+    assert overlap / total >= 0.2, f"ADC recall collapsed: {overlap}/{total}"

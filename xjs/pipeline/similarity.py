@@ -461,3 +461,183 @@ ranked AS (
 SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ): compress embeddings to M sub-codes + ADC top-k
+# --------------------------------------------------------------------------
+# At 10^9+ vectors the float embeddings don't fit hot storage; PQ stores
+# M small codes per vector (here 4x3 bits — production uses 8-16x8) and
+# answers top-k with asymmetric distance computation: per query, an
+# M x K table of exact subspace distances to the codebook centroids,
+# then each vector's approximate distance is M table lookups summed.
+# The scan side never touches floats — only the tiny code columns.
+
+M_PQ = 4                 # subspaces
+K_PQ = 8                 # centroids per subspace codebook
+PQ_ITERS = 2             # Lloyd rounds per subquantizer
+SUB_DIM = DIM // M_PQ
+
+
+def _sub_emb(emb: DataFrame, j: int) -> DataFrame:
+    return emb.select("vec_id", F.slice("emb", j * SUB_DIM + 1, SUB_DIM).alias("emb"))
+
+
+def pq_codebooks(emb: DataFrame) -> DataFrame:
+    """(sub, cluster, centroid): one K_PQ-centroid k-means codebook per
+    SUB_DIM-wide subspace (reuses the IVF Lloyd machinery; driver loops
+    over M_PQ subspaces, each a small independent job)."""
+    books = None
+    for j in range(M_PQ):
+        b = kmeans_centroids(_sub_emb(emb, j), n_cells=K_PQ, iters=PQ_ITERS).select(
+            F.lit(j).alias("sub"), "cluster", "centroid"
+        )
+        books = b if books is None else books.unionAll(b)
+    return books
+
+
+def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest codebook centroid per subspace —
+    a narrow broadcast-assign per subspace, exactly the IVF assign
+    shape; this is the one pass that reads the float vectors."""
+    codes = None
+    for j in range(M_PQ):
+        cent = books.filter(F.col("sub") == j).select("cluster", "centroid")
+        a = _assign(_sub_emb(emb, j), cent).select(
+            "vec_id", F.lit(j).alias("sub"), F.col("cluster").alias("code")
+        )
+        codes = a if codes is None else codes.unionAll(a)
+    return codes
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_embeddings(spark, sf_dir)
+    return pq_encode(emb, pq_codebooks(emb))
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by ADC: exact per-subspace distance tables for
+    the (broadcastable) query set, summed over the corpus codes.  The
+    corpus side touches only (vec_id, sub, code) — never the floats."""
+    emb = load_embeddings(spark, sf_dir)
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    qsubs = None
+    for j in range(M_PQ):
+        s = _sub_emb(q, j).select(
+            F.col("vec_id").alias("query_id"), F.lit(j).alias("sub"),
+            F.col("emb").alias("q_emb"),
+        )
+        qsubs = s if qsubs is None else qsubs.unionAll(s)
+    dtable = qsubs.join(books, "sub").select(
+        "query_id", "sub", F.col("cluster").alias("code"),
+        _dist2(F.col("q_emb"), F.col("centroid")).alias("d2"),
+    )
+    approx = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_d2", "rank")
+    )
+
+
+_SUB_D2_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {d} + 1), "
+    "i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]))), (x, y) -> x + y)"
+).format(d=SUB_DIM)
+
+
+def _pq_cte() -> str:
+    """CTE chain: per subspace, seeds -> PQ_ITERS Lloyd rounds ->
+    assign; then codes/books unions (mirrors _ivf_cte per subspace)."""
+    parts = [_EMB_CTE.strip()]
+    finals = []
+    for j in range(M_PQ):
+        lo, hi = j * SUB_DIM + 1, (j + 1) * SUB_DIM
+        parts.append(f"emb_{j} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM emb)")
+        parts.append(
+            f"cent_{j}_0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, "
+            f"emb AS centroid FROM emb_{j} WHERE vec_id < {K_PQ})"
+        )
+        prev = f"cent_{j}_0"
+        for it in range(PQ_ITERS):
+            a, c = f"asg_{j}_{it}", f"cent_{j}_{it + 1}"
+            parts.append(f"""
+{a} AS (
+    SELECT vec_id, emb, cluster FROM (
+        SELECT e.vec_id, e.emb, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SUB_D2_SQL} ASC, c.cluster ASC) AS rn
+        FROM emb_{j} e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)""".strip())
+            parts.append(f"""
+{c} AS (
+    SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT cluster, pos, ROUND(AVG(val), 6) AS m
+        FROM (SELECT cluster, UNNEST(emb) AS val, UNNEST(RANGE(1, {SUB_DIM} + 1)) AS pos FROM {a})
+        GROUP BY cluster, pos
+    ) GROUP BY cluster
+)""".strip())
+            prev = c
+        parts.append(f"""
+asg_{j} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SUB_D2_SQL} ASC, c.cluster ASC) AS rn
+        FROM emb_{j} e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)""".strip())
+        finals.append((j, prev))
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, cluster AS code FROM asg_{j}" for j, _ in finals
+    )
+    books_union = " UNION ALL ".join(
+        f"SELECT {j} AS sub, cluster, centroid FROM {c}" for j, c in finals
+    )
+    parts.append(f"codes AS ({codes_union})")
+    parts.append(f"books AS ({books_union})")
+    return ",\n".join(parts)
+
+
+def oracle_pq_codes_sql() -> str:
+    return f"WITH {_pq_cte()} SELECT vec_id, sub, code FROM codes"
+
+
+def oracle_pq_topk_sql() -> str:
+    q_d2 = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, {d} + 1), "
+        "i -> (q.emb[i] - b.centroid[i]) * (q.emb[i] - b.centroid[i]))), (x, y) -> x + y)"
+    ).format(d=SUB_DIM)
+    qsubs = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, {j} AS sub, emb[{j * SUB_DIM + 1}:{(j + 1) * SUB_DIM}] AS emb "
+        f"FROM emb WHERE vec_id < {N_QUERIES}" for j in range(M_PQ)
+    )
+    return f"""
+WITH {_pq_cte()},
+qsubs AS ({qsubs}),
+dtable AS (
+    SELECT q.query_id, q.sub, b.cluster AS code, {q_d2} AS d2
+    FROM qsubs q JOIN books b USING (sub)
+),
+approx AS (
+    SELECT d.query_id, c.vec_id, ROUND(SUM(d.d2), 6) AS approx_d2
+    FROM codes c JOIN dtable d USING (sub, code)
+    WHERE c.vec_id <> d.query_id
+    GROUP BY d.query_id, c.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id AS neighbor_id, approx_d2,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rank
+    FROM approx
+)
+SELECT query_id, neighbor_id, approx_d2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
