@@ -23,10 +23,9 @@ parquet so the sandbox (no Iceberg jars) exercises identical logic.
 
 from __future__ import annotations
 
-import json
 import uuid
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

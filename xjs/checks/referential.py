@@ -10,7 +10,6 @@ free to pick broadcast at runtime if stats allow.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from xjs.plan import compile_static
-from xjs.runtime import run_plan, violations as _violations
+from xjs.runtime import violations as _violations
 from xjs.sources.webpages import webpages
 
 #: draft-04 schema for the web-pages table (input_hint columns).

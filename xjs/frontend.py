@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple, Union
 
 from xjs.errors import PathType, SchemaError
-from xjs.jsonval import JSON_TYPE_NAMES, PY_TYPE, duplicate_indices
+from xjs.jsonval import JSON_TYPE_NAMES, duplicate_indices
 
 logger = logging.getLogger(__name__)
 

@@ -25,7 +25,6 @@ every stage has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from typing import List
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F

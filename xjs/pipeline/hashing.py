@@ -11,7 +11,6 @@ the row loop either way.
 
 from __future__ import annotations
 
-from typing import List
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

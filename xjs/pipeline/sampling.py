@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from xjs.pipeline.hashing import MOD, hash_params, rehash, rehash_sql
+from xjs.pipeline.hashing import rehash, rehash_sql
 
 
 def id_hash(col: Column, k: int = 0) -> Column:

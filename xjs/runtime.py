@@ -15,7 +15,6 @@ the same ``groupBy``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -12,7 +12,6 @@ transform + storage-partitioned joins.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 

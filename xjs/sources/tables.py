@@ -19,7 +19,7 @@ and pass ``iceberg://lake.db.webpages`` identifiers to these helpers.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
