@@ -26,7 +26,7 @@ from xjs.flagship import (  # noqa: E402
     oracle_violations_sql,
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
-from xjs.checks import drift, monotonicity, referential, stats, uniqueness  # noqa: E402
+from xjs.checks import drift, freshness, monotonicity, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import (  # noqa: E402
     clusters,
     decontam,
@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_monotonicity_webpages": monotonicity.webpages_ts_monotonicity,
         "ts_range_webpages": monotonicity.webpages_ts_range,
         "ts_monotonicity_events": monotonicity.events_ts_monotonicity,
+        "freshness": freshness.q_freshness,
+        "row_count_anomaly": freshness.q_row_count_anomaly,
         # training-data pipeline ops
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash_lsh": dedup.q_dedup_minhash,
@@ -126,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_monotonicity_webpages": monotonicity.oracle_webpages_monotonicity_sql(DUCKDB_CTE),
         "ts_range_webpages": monotonicity.oracle_ts_range_sql(DUCKDB_CTE),
         "ts_monotonicity_events": monotonicity.ORACLE_EVENTS_MONOTONICITY_SQL,
+        "freshness": freshness.oracle_freshness_sql(DUCKDB_CTE),
+        "row_count_anomaly": freshness.oracle_row_count_anomaly_sql(DUCKDB_CTE),
         "dedup_exact": dedup.ORACLE_DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": dedup.oracle_dedup_minhash_sql(),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(),
