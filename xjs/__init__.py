@@ -18,9 +18,13 @@ keyword dispatch — does all the work:
   skew-defused uniqueness, broadcast referential joins, histogram
   drift (PSI/KS), timestamp monotonicity — the constraint classes the
   reference's design generalizes to at table scale.
-* **pipeline ops** (`xjs.pipeline`): dedup (exact/minhash-LSH/simhash/
-  jaccard), similarity search, text quality/lang-id, multimodal
-  plumbing — the operations a web-scale training-data pipeline needs.
+* **pipeline ops** (`xjs.pipeline`): dedup (exact / minhash-LSH /
+  simhash / jaccard / exact-substring / embedding-cosine + survivor
+  clustering), similarity search (brute / LSH / IVF / PQ-ADC), text
+  quality / lang-id / repetition / token counting, deterministic +
+  stratified sampling, decontamination, URL canonicalization, domain
+  reputation, multimodal plumbing — the operations a web-scale
+  training-data pipeline needs.
 
 Reference parity citations use ``file:line`` into /root/reference.
 """
