@@ -39,7 +39,9 @@ SCHEMA = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    factor = int(os.environ.get("XJS_BENCH_FACTOR", "200"))
+    # 10M docs by default: at 1M the 16-core side is dominated by
+    # per-stage fixed overhead and the ratio under-reads ~2.5x
+    factor = int(os.environ.get("XJS_BENCH_FACTOR", "2000"))
 
     from pyspark.sql import SparkSession
 
