@@ -75,3 +75,27 @@ def test_reprocessing_partition_is_idempotent(spark, sf_dir, out_dir):
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     v.write.mode("overwrite").partitionBy("partition_id").parquet(run2.violations_path)
     assert run2.violations().count() == n1
+
+
+def test_resume_with_quarantine_sinks(spark, sf_dir, out_dir):
+    """Kill-and-resume with quarantine=True: after resume the clean and
+    dirty sinks equal the single-shot quarantine on the full table."""
+    from xjs.runtime import quarantine
+
+    wp = webpages(spark, sf_dir)
+    plan = compile_plan(wp)
+
+    first_half = wp.filter(F.col("partition_id") < 8)
+    r1 = CheckpointedRun(spark, out_dir, run_id="rq1")
+    r1.run(first_half, plan, quarantine=True)
+
+    r2 = CheckpointedRun(spark, out_dir, run_id="rq2")
+    rep = r2.run(wp, plan, quarantine=True)
+    assert rep.partitions_skipped == 8
+
+    b_clean, b_dirty = quarantine(wp, plan)
+    s_clean, s_dirty = r2.clean(), r2.dirty()
+    assert s_clean.count() == b_clean.count()
+    assert s_clean.select(*b_clean.columns).exceptAll(b_clean).count() == 0
+    assert s_dirty.count() == b_dirty.count()
+    assert s_dirty.select(*b_dirty.columns).exceptAll(b_dirty).count() == 0
