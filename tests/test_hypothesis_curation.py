@@ -1,0 +1,88 @@
+"""Property-based checks for the round-2 curation ops against
+pure-Python reference implementations: stratified quota sampling and
+exact-substring (window-grain) duplicate detection.
+
+Small randomized inputs (derandomized for reproducibility), one Spark
+round-trip per example — the same protocol as the other hypothesis
+suites.
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row
+
+from xjs.pipeline import sampling
+from xjs.pipeline.dedup import substring_duplicates
+from xjs.pipeline.hashing import MOD, hash_params
+
+SETTINGS = dict(
+    max_examples=12, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# --- stratified quota -------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 500)),
+    min_size=1, max_size=40, unique_by=lambda t: t[1],
+)
+
+
+def py_stratified(rows, quota):
+    a, b = hash_params(0)
+    out = {}
+    by_g = {}
+    for g, i in rows:
+        by_g.setdefault(g, []).append(i)
+    for g, ids in by_g.items():
+        ids.sort(key=lambda i: ((i * a + b) % MOD, i))
+        for rank, i in enumerate(ids[:quota], start=1):
+            out[(g, i)] = rank
+    return out
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy, quota=st.integers(1, 6))
+def test_stratified_quota_matches_python(spark, rows, quota):
+    df = spark.createDataFrame([Row(g=g, i=i) for g, i in rows])
+    got = {
+        (r["g"], r["i"]): r["sample_rank"]
+        for r in sampling.stratified_quota(df, "g", "i", quota, n_salts=3).collect()
+    }
+    assert got == py_stratified(rows, quota)
+
+
+# --- substring duplicates ----------------------------------------------------
+
+texts_strategy = st.lists(
+    st.lists(st.sampled_from(list("pqrs")), min_size=0, max_size=8).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+def py_substring_dups(texts, w):
+    grams = []
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        gs = {" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)}
+        grams.append(gs)
+    owner = {}
+    for i, gs in enumerate(grams):
+        for g in gs:
+            owner.setdefault(g, i)
+    out = {}
+    for i, gs in enumerate(grams):
+        shared = [g for g in gs if owner[g] < i]
+        if shared:
+            out[i] = (len(shared), min(owner[g] for g in shared))
+    return out
+
+
+@settings(**SETTINGS)
+@given(texts=texts_strategy, w=st.integers(2, 4))
+def test_substring_duplicates_match_python(spark, texts, w):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["doc_id"]: (r["n_shared_windows"], r["earliest_owner"])
+        for r in substring_duplicates(df, w=w).collect()
+    }
+    assert got == py_substring_dups(texts, w)
