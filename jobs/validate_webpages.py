@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 from pyspark.sql import SparkSession
@@ -41,6 +42,12 @@ def main() -> None:
         help="also route rows: clean rows -> <out>/clean, violating "
              "rows + failed-check names -> <out>/dirty",
     )
+    ap.add_argument(
+        "--expect-schema", default=None, metavar="DDL",
+        help="fail fast (exit 3) if the input table's schema is not "
+             "compatible with this DDL (schema-evolution gate: no "
+             "removed columns, no type changes; additions are fine)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("xjs-validate-webpages").getOrCreate()
@@ -57,6 +64,18 @@ def main() -> None:
         if args.factor <= 1
         else webpages_scaled(spark, args.input, args.factor)
     )
+    if args.expect_schema:
+        from pyspark.sql.types import StructType
+
+        from xjs.infer import schema_diff
+
+        expected = StructType.fromDDL(args.expect_schema)
+        diff = schema_diff(expected, wp.schema)
+        if not diff["compatible"]:
+            print("XJS_SCHEMA_INCOMPATIBLE " + json.dumps(
+                {"removed": diff["removed"], "changed": diff["changed"]}))
+            sys.exit(3)
+
     plan = compile_plan(wp)
 
     run = CheckpointedRun(spark, args.out, run_id=args.run_id)

@@ -86,3 +86,53 @@ def test_substring_duplicates_match_python(spark, texts, w):
         for r in substring_duplicates(df, w=w).collect()
     }
     assert got == py_substring_dups(texts, w)
+
+
+# --- canonical_url ------------------------------------------------------------
+
+import re
+
+from pyspark.sql import functions as F
+
+from xjs.pipeline import urls
+
+
+def py_canonical(u):
+    u = re.sub(r"#.*", "", u, flags=re.DOTALL)
+    u = re.sub(r"(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&?", "", u)
+    u = re.sub(r"[?&]+$", "", u)
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", u)
+    prefix = m.group(0) if m else ""
+    rest = u[len(prefix):]
+    prefix = prefix.lower()
+    prefix = prefix.replace("://www.", "://", 1)
+    prefix = re.sub(r":(80|443)$", "", prefix)
+    rest = re.sub(r"/+$", "", rest)
+    return prefix + rest
+
+
+url_strategy = st.builds(
+    lambda scheme, www, host, port, path, slash, query, frag: (
+        f"{scheme}://{'www.' if www else ''}{host}{port}/{path}{'/' if slash else ''}"
+        f"{query}{frag}"
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+    www=st.booleans(),
+    host=st.sampled_from(["Example.COM", "example.com", "a.b.example"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["x", "X/y", "doc/1", ""]),
+    slash=st.booleans(),
+    query=st.sampled_from(["", "?q=1", "?utm_source=a", "?utm_source=a&q=1",
+                           "?q=1&utm_campaign=b&fbclid=z"]),
+    frag=st.sampled_from(["", "#f", "#a/b?c"]),
+)
+
+
+@settings(**SETTINGS)
+@given(us=st.lists(url_strategy, min_size=1, max_size=25))
+def test_canonical_url_matches_python(spark, us):
+    df = spark.createDataFrame([Row(u=u) for u in us])
+    got = {r["u"]: r["c"] for r in df.select(
+        "u", urls.canonical_url(F.col("u")).alias("c")).collect()}
+    for u in us:
+        assert got[u] == py_canonical(u), f"mismatch on {u!r}"
