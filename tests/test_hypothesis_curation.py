@@ -136,3 +136,43 @@ def test_canonical_url_matches_python(spark, us):
         "u", urls.canonical_url(F.col("u")).alias("c")).collect()}
     for u in us:
         assert got[u] == py_canonical(u), f"mismatch on {u!r}"
+
+
+# --- decontamination ----------------------------------------------------------
+
+from xjs.pipeline.decontam import contaminated_docs
+
+
+def py_contaminated(corpus, bench, n):
+    def grams(t):
+        toks = t.strip().split()
+        return {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench)) if bench else set()
+    out = {}
+    for i, t in corpus:
+        hits = grams(t) & bench_grams
+        if hits:
+            out[i] = len(hits)
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(list("mn")), min_size=0, max_size=7).map(" ".join),
+        min_size=2, max_size=10,
+    ),
+    n=st.integers(2, 3),
+)
+def test_decontam_matches_python(spark, texts, n):
+    rows = list(enumerate(texts))
+    bench = [(i, t) for i, t in rows if i % 3 == 0]
+    corpus = [(i, t) for i, t in rows if i % 3 != 0]
+    bench_df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in bench])
+    corpus_df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in corpus])
+    got = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in contaminated_docs(corpus_df, bench_df, n=n).collect()
+    }
+    assert got == py_contaminated(corpus, bench, n)

@@ -80,3 +80,49 @@ def test_static_object_queries_are_narrow_and_pruned(spark):
         m = re.search(r"ReadSchema: struct<([^>]*)", plan)
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == expected_cols[name], f"{name} reads {cols}"
+
+
+def test_jsonl_landing_ingest(spark, sf_dir, tmp_path=None):
+    """CC-style landing format: the same compiled plan validates a
+    JSONL drop (spark.read.json with an explicit schema — schema
+    inference at 100 TB means a second full scan, so production always
+    passes the DDL)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from xjs.flagship import compile_plan
+    from xjs.runtime import violations
+    from xjs.sources.webpages import webpages
+
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    d = tempfile.mkdtemp(prefix="xjs-jsonl-", dir="/root/repo/.tmp")
+    wp = webpages(spark, sf_dir)
+    # JSON has no binary/timestamp: land as base64 + ISO string (the
+    # crawler-side convention), restore types on read
+    wp.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        F.base64("html").alias("html_b64"),
+        "text", "lang", "partition_id", "doc_id", "source",
+    ).write.mode("overwrite").json(d)
+
+    ddl = ("url string, warc_ts string, html_b64 string, text string, "
+           "lang string, partition_id int, doc_id bigint, source string")
+    landed = (
+        spark.read.schema(T.StructType.fromDDL(ddl)).json(d)
+        .select(
+            "url",
+            F.to_timestamp("warc_ts").alias("warc_ts"),
+            F.unbase64("html_b64").alias("html"),
+            "text", "lang", "partition_id", "doc_id", "source",
+        )
+    )
+    got = violations(landed, compile_plan(landed))
+    expected = violations(wp, compile_plan(wp))
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected.select(got.columns)).count() == 0
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
