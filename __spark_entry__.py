@@ -28,6 +28,7 @@ from xjs.flagship import (  # noqa: E402
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
 from xjs.checks import drift, freshness, monotonicity, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import (  # noqa: E402
+    asof,
     clusters,
     decontam,
     dedup,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": select.q_curate_corpus,
         "sessionize_events": sessions.q_sessionize_events,
         "session_window_stats": sessions.q_session_window_stats,
+        "asof_join_clicks": asof.q_asof_clicks,
     }
 
 
@@ -171,4 +173,5 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": select.oracle_curate_corpus_sql(),
         "sessionize_events": sessions.ORACLE_SESSIONIZE_SQL,
         "session_window_stats": sessions.ORACLE_SESSION_WINDOW_SQL,
+        "asof_join_clicks": asof.oracle_asof_clicks_sql(),
     }

@@ -1,0 +1,148 @@
+"""Point-in-time (as-of) join — the classic operator Spark's join
+syntax lacks (DuckDB ships it as ``ASOF JOIN``; pandas as
+``merge_asof``).  For each left row, attach the latest right row with
+the same key whose timestamp is at-or-before the left timestamp.
+
+Scale shape: the naive formulation (equi-join on key + ``r.ts <=
+l.ts`` + argmax) explodes to |L_k|x|R_k| rows per key before the
+rank prunes it — quadratic in the hot key.  This implementation
+instead UNIONs both sides tagged with a side bit and computes one
+``last(value, ignorenulls=True)`` carry-forward window per value
+column: a single shuffle on the key, O(|L_k|+|R_k|) rows per key,
+no intermediate blow-up.  All carried columns come from the same
+matched row because right rows are atomic in the sort order (ties
+broken by ``tiebreak``).  Hot-key caveat matches sessionize: one
+reducer sees the whole key; time-bucketing the window is the 100 TB
+mitigation (see SCALE.md).
+
+Use case here (training-data flavored): error attribution — for each
+``error`` event, the most recent ``click`` by the same user, plus a
+tolerance-gated variant (clicks older than 30 min don't count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOLERANCE_MIN = 30
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    values: dict[str, str],
+    tiebreak: str,
+) -> DataFrame:
+    """Left rows + ``values`` (right col -> output alias) from the
+    latest right row per ``key`` with ``right_ts <= left_ts``; NULL
+    aliases when no right row precedes.  Ties on ``right_ts`` resolve
+    to the largest ``tiebreak``; at equal timestamps the right row IS
+    visible to the left row (inclusive semantics, side bit sorts the
+    right row first)."""
+    lcols = left.columns
+    clash = set(values.values()) & set(lcols)
+    if clash:
+        raise ValueError(f"value aliases collide with left columns: {sorted(clash)}")
+    rtype = dict(right.dtypes)
+    ltype = dict(left.dtypes)
+    rside = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        *[F.col(src).alias(f"_v_{alias}") for src, alias in values.items()],
+        *[F.lit(None).cast(ltype[c]).alias(c) for c in lcols],
+    )
+    lside = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtype[tiebreak]).alias("_tb"),
+        *[
+            F.lit(None).cast(rtype[src]).alias(f"_v_{alias}")
+            for src, alias in values.items()
+        ],
+        *[F.col(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rside.unionByName(lside).select(
+        F.col("_side"),
+        *lcols,
+        *[
+            F.last(F.col(f"_v_{alias}"), ignorenulls=True).over(w).alias(alias)
+            for alias in values.values()
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event: the latest preceding click by the same
+    user (as-of), plus ``recent_click_id`` gated to a 30-minute
+    tolerance."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof_join(
+        errors,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        values={"event_id": "click_event_id", "value": "click_value", "ts": "click_ts"},
+        tiebreak="event_id",
+    )
+    recent = F.when(
+        F.col("ts") <= F.col("click_ts") + F.expr(f"INTERVAL {TOLERANCE_MIN} MINUTES"),
+        F.col("click_event_id"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_value",
+        "click_ts",
+        recent.alias("recent_click_id"),
+    )
+
+
+def oracle_asof_clicks_sql() -> str:
+    """Same union + IGNORE-NULLS carry-forward in portable SQL (not
+    DuckDB's ASOF JOIN syntax, so the oracle states the semantics
+    explicitly)."""
+    return f"""
+WITH u AS (
+    SELECT user_id AS k, ts AS sort_ts, 0 AS side, event_id AS tb,
+           event_id AS v_click_event_id, value AS v_click_value, ts AS v_click_ts,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, 1, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+           event_id, ts
+    FROM events WHERE event_type = 'error'
+),
+c AS (
+    SELECT side, event_id, k, ts,
+           last_value(v_click_event_id IGNORE NULLS) OVER w AS click_event_id,
+           last_value(v_click_value IGNORE NULLS) OVER w AS click_value,
+           last_value(v_click_ts IGNORE NULLS) OVER w AS click_ts
+    FROM u
+    WINDOW w AS (PARTITION BY k ORDER BY sort_ts, side, tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, ts, click_event_id, click_value, click_ts,
+       CASE WHEN ts <= click_ts + INTERVAL {TOLERANCE_MIN} MINUTES
+            THEN click_event_id END AS recent_click_id
+FROM c WHERE side = 1
+"""
