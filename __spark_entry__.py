@@ -34,6 +34,7 @@ from xjs.pipeline import (  # noqa: E402
     dedup,
     domains,
     multimodal,
+    pii,
     sampling,
     select,
     sessions,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text.q_text_fingerprint,
         "text_repetition": text.q_text_repetition,
         "text_tokens": text.q_text_tokens,
+        "text_pii": pii.q_text_pii,
         "multimodal_meta": multimodal.q_multimodal_meta,
         "sample_bernoulli": sampling.q_sample_bernoulli,
         "sample_stratified": sampling.q_sample_stratified,
@@ -150,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": text.oracle_text_fingerprint_sql(),
         "text_repetition": text.oracle_text_repetition_sql(),
         "text_tokens": text.oracle_text_tokens_sql(),
+        "text_pii": pii.oracle_text_pii_sql(),
         "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
         "sample_bernoulli": sampling.oracle_sample_bernoulli_sql(),
         "sample_stratified": sampling.oracle_sample_stratified_sql(),
