@@ -33,6 +33,7 @@ from xjs.pipeline import (  # noqa: E402
     decontam,
     dedup,
     domains,
+    heavy,
     multimodal,
     pii,
     sampling,
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontam.q_decontaminate,
         "url_canonical_dedup": urls.q_url_canonical_dedup,
         "domain_reputation": domains.q_domain_reputation,
+        "heavy_hitters": heavy.q_heavy_hitters,
         # dynamic mode (Arrow pandas-UDF over JSON strings) + MapType static
         "dynamic_json_props": dynamic_spark.q_dynamic_props,
         "static_map_props": dynamic_spark.q_static_props_map,
@@ -159,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": decontam.oracle_decontaminate_sql(),
         "url_canonical_dedup": urls.oracle_url_canonical_dedup_sql(DUCKDB_CTE),
         "domain_reputation": domains.oracle_domain_reputation_sql(DUCKDB_CTE),
+        "heavy_hitters": heavy.oracle_heavy_hitters_sql(),
         "dynamic_json_props": dynamic_spark.ORACLE_DYNAMIC_PROPS_SQL,
         "static_map_props": dynamic_spark.ORACLE_STATIC_PROPS_MAP_SQL,
         "static_composition": dynamic_spark.ORACLE_STATIC_COMPOSITION_SQL,
