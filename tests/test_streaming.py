@@ -268,3 +268,37 @@ def test_streaming_drift_histogram_equals_batch(spark, sf_dir, tmp):
     base = got.groupBy("bucket").agg(F.sum("n").alias("n"))
     psi = drift.psi(got, base, "window", drift.N_BUCKETS)
     assert psi.count() == got.select("window").distinct().count()
+
+
+def test_streaming_referential_equals_batch(spark, sf_dir, tmp):
+    """Stream-static left-anti join == the batch referential check."""
+    from xjs.checks.referential import domain_allowlist, domain_of, webpages_referential_violations
+    from xjs.streaming import stream_referential_violations
+
+    wp = webpages(spark, sf_dir)
+    wp.filter(F.col("partition_id") < 8).write.parquet(f"{tmp}/in/b1")
+    wp.filter(F.col("partition_id") >= 8).write.parquet(f"{tmp}/in/b2")
+
+    stream = (
+        spark.readStream.schema(wp.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+        .withColumn("domain", domain_of(F.col("url")))
+    )
+    out = stream_referential_violations(
+        stream, domain_allowlist(spark, sf_dir), "domain", "domain"
+    ).select("url", "domain", "partition_id")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{tmp}/viol")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{tmp}/viol")
+    expected = webpages_referential_violations(spark, sf_dir)
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected.select(got.columns)).count() == 0

@@ -147,6 +147,23 @@ def stream_exact_dedup(
     )
 
 
+def stream_referential_violations(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Streaming twin of ``xjs.checks.referential.missing_keys``:
+    stream-static left-anti join against the (batch) allowlist
+    dimension.  Stateless — the static side is re-broadcast per
+    micro-batch (Spark re-plans it each epoch, so a refreshed
+    allowlist table is picked up without restarting the query); no
+    watermark needed because nothing accumulates."""
+    from xjs.checks.referential import missing_keys
+
+    return missing_keys(stream_df, dim, fact_key, dim_key)
+
+
 def stream_drift_histogram(
     stream_df: DataFrame,
     value,
