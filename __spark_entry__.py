@@ -35,6 +35,7 @@ from xjs.pipeline import (  # noqa: E402
     domains,
     heavy,
     multimodal,
+    packing,
     pii,
     sampling,
     select,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text.q_text_repetition,
         "text_tokens": text.q_text_tokens,
         "text_pii": pii.q_text_pii,
+        "pack_sequences": packing.q_pack_sequences,
         "multimodal_meta": multimodal.q_multimodal_meta,
         "sample_bernoulli": sampling.q_sample_bernoulli,
         "sample_stratified": sampling.q_sample_stratified,
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": text.oracle_text_repetition_sql(),
         "text_tokens": text.oracle_text_tokens_sql(),
         "text_pii": pii.oracle_text_pii_sql(),
+        "pack_sequences": packing.oracle_pack_sequences_sql(),
         "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
         "sample_bernoulli": sampling.oracle_sample_bernoulli_sql(),
         "sample_stratified": sampling.oracle_sample_stratified_sql(),

@@ -136,6 +136,22 @@ def build_queries(spark, sf_dir: str, factor: int):
             wp().select("doc_id", "url"), "url", "doc_id"
         )
 
+    def q_pii():
+        from xjs.pipeline import pii
+
+        return pii.pii_scan(wp().select("doc_id", "text"))
+
+    def q_heavy():
+        from xjs.pipeline import heavy
+
+        w = wp().withColumn("domain", referential.domain_of(F.col("url")))
+        return heavy.heavy_hitters(w, "domain")
+
+    def q_asof():
+        from xjs.pipeline import asof
+
+        return asof.q_asof_clicks(spark, sf_dir)
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -160,6 +176,9 @@ def build_queries(spark, sf_dir: str, factor: int):
         "dedup_substring": q_substring,
         "sample_stratified": q_stratified,
         "url_canonical_dedup": q_canonical,
+        "text_pii": q_pii,
+        "heavy_hitters_domains": q_heavy,
+        "asof_join_clicks": q_asof,
         "dynamic_json_udf": q_dynamic_udf,
     }
 
@@ -191,15 +210,30 @@ def main() -> None:
     # 80s across the day at identical code); the min of two runs is the
     # sustained-throughput number the suite is meant to track
     reps = int(os.environ.get("XJS_BENCH_REPS", "2"))
+    max_reps = int(os.environ.get("XJS_BENCH_MAX_REPS", str(reps + 4)))
     timings = {}
+    noisy = {}
     for name, make in queries.items():
-        best = None
-        for _ in range(reps):
+        samples = []
+        while len(samples) < reps:
             t0 = time.perf_counter()
             make().count()
-            sec = time.perf_counter() - t0
-            best = sec if best is None else min(best, sec)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        # variance-aware extension: this host's steal noise can inflate a
+        # single sample 3-10x; when the samples disagree badly, buy extra
+        # reps for THIS query only until two samples agree within 30% or
+        # the rep budget runs out — min-of-agreeing is the sustained number
+        while (
+            len(samples) < max_reps
+            and min(samples) > 0
+            and sorted(samples)[min(1, len(samples) - 1)] / min(samples) > 1.3
+        ):
+            t0 = time.perf_counter()
+            make().count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        if max(samples) / max(min(samples), 1e-9) > 1.5:
+            noisy[name] = [round(s, 2) for s in samples]
 
     total = round(sum(timings.values()), 3)
     flagship_dps = round(n_docs / timings["webpages_violations"], 1)
@@ -215,7 +249,8 @@ def main() -> None:
                 "factor": factor,
                 "cpus": cpus,
                 "reps": reps,
-                "protocol": f"best-of-{reps} per query",
+                "protocol": f"best-of-{reps} per query, +reps (max {max_reps}) while samples disagree >30%",
+                **({"noisy_samples": noisy} if noisy else {}),
                 "docs_per_sec_flagship": flagship_dps,
                 **_deltas_vs_previous_round(timings, total),
             }
