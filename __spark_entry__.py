@@ -29,6 +29,7 @@ from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
 from xjs.checks import drift, freshness, monotonicity, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import (  # noqa: E402
     asof,
+    boilerplate,
     clusters,
     decontam,
     dedup,
@@ -44,7 +45,7 @@ from xjs.pipeline import (  # noqa: E402
     text,
     urls,
 )
-from xjs import dynamic_spark, reports  # noqa: E402
+from xjs import dynamic_spark, reports, skew  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -93,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text.q_text_tokens,
         "text_pii": pii.q_text_pii,
         "pack_sequences": packing.q_pack_sequences,
+        "boilerplate_grams": boilerplate.q_boilerplate_grams,
+        "sample_weighted": sampling.q_sample_weighted,
+        "salted_join_orders": skew.q_salted_join_orders,
         "multimodal_meta": multimodal.q_multimodal_meta,
         "sample_bernoulli": sampling.q_sample_bernoulli,
         "sample_stratified": sampling.q_sample_stratified,
@@ -109,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "static_unique_items": dynamic_spark.q_static_unique_items,
         # reports: top-k + rollup
         "report_worst_urls": reports.worst_urls,
+        "report_worst_per_domain": reports.worst_urls_per_domain,
         "report_verdict_rollup": reports.verdict_rollup,
         # pipeline compositions
         "dedup_clusters": clusters.q_dedup_clusters,
@@ -158,6 +163,9 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": text.oracle_text_tokens_sql(),
         "text_pii": pii.oracle_text_pii_sql(),
         "pack_sequences": packing.oracle_pack_sequences_sql(),
+        "boilerplate_grams": boilerplate.oracle_boilerplate_grams_sql(),
+        "sample_weighted": sampling.oracle_sample_weighted_sql(),
+        "salted_join_orders": skew.ORACLE_SALTED_JOIN_SQL,
         "multimodal_meta": multimodal.oracle_multimodal_meta_sql(DUCKDB_CTE),
         "sample_bernoulli": sampling.oracle_sample_bernoulli_sql(),
         "sample_stratified": sampling.oracle_sample_stratified_sql(),
@@ -172,6 +180,9 @@ def oracle_sql() -> dict[str, str]:
         "static_enum_complex": dynamic_spark.ORACLE_STATIC_ENUM_COMPLEX_SQL,
         "static_unique_items": dynamic_spark.ORACLE_STATIC_UNIQUE_ITEMS_SQL,
         "report_worst_urls": reports.oracle_worst_urls_sql(
+            oracle_violations_sql(DUCKDB_CTE)
+        ),
+        "report_worst_per_domain": reports.oracle_worst_urls_per_domain_sql(
             oracle_violations_sql(DUCKDB_CTE)
         ),
         "report_verdict_rollup": reports.oracle_verdict_rollup_sql(

@@ -1,0 +1,60 @@
+"""Salted join equality + spread, weighted sampling statistics,
+boilerplate-gram detection on handcrafted groups."""
+
+from pyspark.sql import functions as F
+
+from xjs.pipeline.boilerplate import boilerplate_grams
+from xjs.pipeline.sampling import weighted_sample
+from xjs.skew import salted_join
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    salted = salted_join(orders, customer, "o_custkey", "c_custkey", "o_orderkey")
+    plain = orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+    cols = ["o_orderkey", "o_custkey", "c_name"]
+    assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+    assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land on every salt bucket, not one."""
+    fact = spark.range(10_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("rid")
+    )
+    dim = spark.createDataFrame([(7, "hot")], "k bigint, name string")
+    out = salted_join(fact, dim, "k", "k", "rid", n_salts=8)
+    assert out.count() == 10_000
+    n_buckets = (
+        fact.withColumn("_s", F.pmod(F.xxhash64("rid"), F.lit(8)))
+        .select("_s").distinct().count()
+    )
+    assert n_buckets == 8  # the hot key's rows scatter across all salts
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    for w, tol in [(0.1, 0.03), (0.5, 0.05), (0.9, 0.05)]:
+        kept = weighted_sample(df, "doc_id", F.lit(w)).count() / 20_000
+        assert abs(kept - w) < tol, (w, kept)
+    # weight 0 keeps nothing; weight 1 keeps everything
+    assert weighted_sample(df, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "doc_id", F.lit(1.0)).count() == 20_000
+
+
+def test_boilerplate_grams_handcrafted(spark):
+    footer = "subscribe to our newsletter today"
+    rows = (
+        [(i, "a", f"unique words number {i} only here " + footer) for i in range(6)]
+        + [(9, "a", "no footer in this one document at all")]
+        + [(i, "b", f"other group text {i} entirely") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = boilerplate_grams(df, "source", n=5)
+    got = {(r["source"], r["gram"]) for r in out.collect()}
+    assert ("a", footer) in got  # 6/7 docs >= 25%
+    assert not any(s == "b" for s, _ in got)  # no recurring gram in b
+    # per-group totals are right
+    row = [r for r in out.collect() if r["gram"] == footer][0]
+    assert (row["n_docs_with"], row["n_docs"]) == (6, 7)

@@ -1,0 +1,106 @@
+"""Boilerplate detection: token n-grams that recur across a large
+fraction of a group's documents (site headers, footers, cookie
+banners, newsletter plugs) — the CCNet/Dolma-style "remove what the
+whole domain repeats" pass.
+
+Shape: per-doc *distinct* grams (array_distinct, so a doc votes once
+per gram) -> one groupBy (group, gram) with map-side partials -> a
+broadcast join against the per-group doc totals.  Linear in corpus
+grams; the (group, gram) key inherits domain skew and partial
+aggregation absorbs it (hot boilerplate grams are exactly the ones
+that combine map-side).  Frequency threshold uses integer arithmetic
+(n_docs_with * DEN >= NUM * n_docs) so the Spark and DuckDB answers
+agree exactly.
+
+The word-salad corpus has no natural boilerplate, so the query injects
+a deterministic per-source footer at doc_id % 3 == 0 (same fixture
+convention as the PII/webpages injections), giving each source two
+full-footer 5-grams at ~33% document frequency against a 25%
+threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xjs.pipeline.text import token_ngrams
+
+NGRAM = 5
+THRESH_NUM, THRESH_DEN = 1, 4   # boilerplate = gram in >= 25% of the group's docs
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = NGRAM,
+    thresh_num: int = THRESH_NUM,
+    thresh_den: int = THRESH_DEN,
+) -> DataFrame:
+    """(group, gram, n_docs_with, n_docs) for every gram at or above
+    the document-frequency threshold within its group."""
+    per_doc = df.select(
+        F.col(group_col),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    gram_df = per_doc.groupBy(group_col, "gram").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return gram_df.join(F.broadcast(totals), group_col).where(
+        F.col("n_docs_with") * thresh_den >= thresh_num * F.col("n_docs")
+    )
+
+
+def _inject_footer(doc_id: Column, source: Column, text: Column) -> Column:
+    return F.when(
+        doc_id % 3 == 0,
+        F.concat(text, F.lit(" subscribe to "), source, F.lit(" newsletter today now")),
+    ).otherwise(text)
+
+
+_INJECT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN text || ' subscribe to ' || source || ' newsletter today now' "
+    "ELSE text END"
+)
+
+
+def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = d.select(
+        "source",
+        _inject_footer(F.col("doc_id"), F.col("source"), F.col("text")).alias("text"),
+    )
+    return boilerplate_grams(injected, "source")
+
+
+def oracle_boilerplate_grams_sql() -> str:
+    w = NGRAM
+    return f"""
+WITH injected AS (
+    SELECT doc_id, source, {_INJECT_SQL} AS text FROM documents
+),
+toks AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM injected WHERE length(trim(text)) > 0
+),
+grams AS (
+    -- DISTINCT per (doc, gram): each doc votes once per gram, and
+    -- duplicate-text docs still vote separately (doc_id carried)
+    SELECT DISTINCT doc_id, source,
+           list_aggregate(t[i:i+{w - 1}], 'string_agg', ' ') AS gram
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS r(i)
+),
+doc_grams AS (
+    SELECT source, gram, COUNT(*) AS n_docs_with
+    FROM grams GROUP BY source, gram
+),
+totals AS (
+    SELECT source, COUNT(*) AS n_docs FROM injected GROUP BY source
+)
+SELECT g.source, g.gram, g.n_docs_with, t.n_docs
+FROM doc_grams g JOIN totals t USING (source)
+WHERE g.n_docs_with * {THRESH_DEN} >= {THRESH_NUM} * t.n_docs
+"""

@@ -127,3 +127,55 @@ WITH ranked AS (
 )
 SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= {QUOTA}
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+# ---------------------------------------------------------------------------
+
+WEIGHT_BASIS = 10_000  # weight resolution (basis points of keep probability)
+MIX = 2_654_435_761    # Knuth multiplicative constant: scatters small ids
+
+
+def _uniform_bp(col: Column, k: int = 0) -> Column:
+    """Pseudo-uniform variate in [0, WEIGHT_BASIS): the affine id_hash
+    is nearly linear for small dense ids (fine for the coarse
+    Bernoulli buckets, useless at basis-point resolution), so mix it
+    multiplicatively before reducing."""
+    return F.pmod((id_hash(col, k) * MIX) % 1_000_000_007, F.lit(WEIGHT_BASIS))
+
+
+def _uniform_bp_sql(expr: str, k: int = 0) -> str:
+    return f"((({id_hash_sql(expr, k)}) * {MIX}) % 1000000007) % {WEIGHT_BASIS}"
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight: Column, k: int = 0) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row with
+    probability ``weight`` (in [0,1]) — quality-proportional corpus
+    selection ("sample good documents more").  The id-hash plays the
+    uniform variate, so the decision is reproducible, partitioning-
+    invariant, and narrow (fuses into the scan, like hash_sample).
+    The weight is quantized to 1/WEIGHT_BASIS so the threshold compare
+    is integer-exact across engines."""
+    thresh = F.round(weight * WEIGHT_BASIS).cast("long")
+    return df.filter(_uniform_bp(F.col(id_col), k) < thresh)
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xjs.pipeline.text import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = quality_score(F.col("text"))
+    return weighted_sample(d, "doc_id", w).select(
+        "doc_id", "lang", w.alias("weight")
+    )
+
+
+def oracle_sample_weighted_sql() -> str:
+    from xjs.pipeline.text import quality_score_sql
+
+    q = quality_score_sql("text")
+    return f"""
+SELECT doc_id, lang, {q} AS weight FROM documents
+WHERE ({_uniform_bp_sql("doc_id")}) < CAST(round(({q}) * {WEIGHT_BASIS}) AS BIGINT)
+"""

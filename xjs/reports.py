@@ -39,6 +39,52 @@ LIMIT {TOP_K}
 """
 
 
+TOP_PER_GROUP = 3
+
+
+def worst_urls_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k offenders *per domain* (window rank, not a global sort):
+    the per-group analog of ``worst_urls``.  At scale the rank window
+    shuffles only aggregated (url, count) rows — one row per violating
+    url — and each domain's partition is bounded by its violating-url
+    count, not its page count."""
+    from xjs.checks.referential import domain_of
+    from pyspark.sql.window import Window
+
+    wp = webpages(spark, sf_dir)
+    v = violations(wp, compile_plan(wp))
+    counts = (
+        v.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .withColumn("domain", domain_of(F.col("id")))
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("n_violations"), F.asc("id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_PER_GROUP)
+        .select("domain", "id", "n_violations", "rank")
+    )
+
+
+def oracle_worst_urls_per_domain_sql(violations_sql: str) -> str:
+    return f"""
+WITH v AS ({violations_sql}),
+counts AS (
+    SELECT id, COUNT(*) AS n_violations,
+           regexp_extract(id, '^(?:[a-zA-Z][a-zA-Z0-9.+-]*://)?([^/]+)', 1) AS domain
+    FROM v GROUP BY id
+),
+ranked AS (
+    SELECT domain, id, n_violations,
+           ROW_NUMBER() OVER (PARTITION BY domain
+                              ORDER BY n_violations DESC, id ASC) AS rank
+    FROM counts
+)
+SELECT domain, id, n_violations, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_PER_GROUP}
+"""
+
+
 def verdict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Violation totals at (partition, check), (partition) and ()
     grain via ROLLUP — the roll-up verdict report.  Null grouping
