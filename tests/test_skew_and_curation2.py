@@ -58,3 +58,13 @@ def test_boilerplate_grams_handcrafted(spark):
     # per-group totals are right
     row = [r for r in out.collect() if r["gram"] == footer][0]
     assert (row["n_docs_with"], row["n_docs"]) == (6, 7)
+
+
+def test_revenue_star_join_broadcasts(spark, sf_dir):
+    from xjs.reports import revenue_by_nation
+
+    df = revenue_by_nation(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2  # both dims broadcast
+    assert "SortMergeJoin" not in plan  # fact table never shuffles for joins
+    assert df.count() == 25

@@ -103,6 +103,45 @@ def verdict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup (orders ⋈ customer ⋈ nation): the classic
+    OLAP join chain with both dimensions explicitly broadcast — the
+    fact table never shuffles for the joins, only for the final
+    aggregate (which partial-aggregates map-side on ~25 nation keys)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # decimal accumulation: double SUM is ordering-dependent and
+            # partition order differs between engines; decimal is exact
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION_SQL = """
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def oracle_verdict_rollup_sql(verdicts_sql: str) -> str:
     return f"""
 WITH vd AS ({verdicts_sql})
