@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_worst_urls": reports.worst_urls,
         "report_worst_per_domain": reports.worst_urls_per_domain,
         "report_revenue_by_nation": reports.revenue_by_nation,
+        "report_lineitem_pricing": reports.lineitem_pricing,
         "report_verdict_rollup": reports.verdict_rollup,
         # pipeline compositions
         "dedup_clusters": clusters.q_dedup_clusters,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
             oracle_violations_sql(DUCKDB_CTE)
         ),
         "report_revenue_by_nation": reports.ORACLE_REVENUE_BY_NATION_SQL,
+        "report_lineitem_pricing": reports.ORACLE_LINEITEM_PRICING_SQL,
         "report_verdict_rollup": reports.oracle_verdict_rollup_sql(
             oracle_verdicts_sql(DUCKDB_CTE)
         ),

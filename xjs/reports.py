@@ -142,6 +142,48 @@ GROUP BY n_name
 """
 
 
+PRICING_CUTOFF = "1998-09-01"
+
+
+def lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-filter + one groupBy on a
+    2-value key pair — the canonical partial-aggregation workload (map
+    side collapses 10^12 rows to 4 groups per task before the
+    shuffle).  All money math in decimal: double accumulation is
+    ordering-dependent and would flake the cross-engine hash."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit(PRICING_CUTOFF).cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("n_rows"), 6))
+    )
+
+
+ORACLE_LINEITEM_PRICING_SQL = f"""
+WITH agg AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '{PRICING_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+)
+SELECT *, round(sum_qty / n_rows, 6) AS avg_qty FROM agg
+"""
+
+
 def oracle_verdict_rollup_sql(verdicts_sql: str) -> str:
     return f"""
 WITH vd AS ({verdicts_sql})
