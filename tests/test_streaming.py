@@ -302,3 +302,58 @@ def test_streaming_referential_equals_batch(spark, sf_dir, tmp):
     expected = webpages_referential_violations(spark, sf_dir)
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected.select(got.columns)).count() == 0
+
+
+def test_streaming_heavy_hitters_candidates_cover_batch(spark, sf_dir, tmp):
+    """The union of final per-bucket MG summaries from the stream is a
+    superset of the true heavy hitters; an exact confirm over those
+    candidates reproduces the batch heavy_hitters output exactly."""
+    from xjs.pipeline.heavy import S_DEN, S_NUM, heavy_hitters
+    from xjs.streaming import stream_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{tmp}/in/b1")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{tmp}/in/b2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(f"{tmp}/in")
+    )
+    latest = {}  # bucket -> {item: est} from its newest emission
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():
+            latest.setdefault(r["bucket"], {})
+        for b in {r["bucket"] for r in batch_df.collect()}:
+            latest[b] = {}
+        for r in batch_df.collect():
+            latest[r["bucket"]][r["item"]] = r["est"]
+
+    q = (
+        stream_heavy_hitters(stream.select("user_id"), "user_id")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    candidates = {item for d in latest.values() for item in d}
+    batch = {
+        (r["user_id"], r["n_rows"]) for r in heavy_hitters(ev, "user_id").collect()
+    }
+    assert batch, "fixture must contain at least one heavy hitter"
+    assert {k for k, _ in batch} <= candidates  # sketch recall guarantee
+
+    # exact confirm over streamed candidates == batch output
+    total = ev.count()
+    confirmed = {
+        (r["user_id"], r["count"])
+        for r in ev.filter(F.col("user_id").isin(*candidates))
+        .groupBy("user_id").count().collect()
+        if r["count"] * S_DEN >= S_NUM * total
+    }
+    assert confirmed == batch

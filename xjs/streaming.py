@@ -88,6 +88,63 @@ def stateful_entity_totals(stream_df: DataFrame, plan: CheckPlan, entity_col: st
     )
 
 
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    n_buckets: int = 8,
+    capacity: int = 256,
+) -> DataFrame:
+    """Streaming twin of ``xjs.pipeline.heavy``: a Misra-Gries sketch
+    maintained per hash bucket across micro-batches via
+    ``applyInPandasWithState``.  Each batch emits every bucket's
+    current (item, est) summary; the union of final summaries is the
+    same provable heavy-hitter superset as the batch sketch (bucket
+    guarantee: an item with global frequency >= s*N has count >=
+    s*N > N_bucket/(capacity+1) inside its own bucket whenever
+    s > 1/(n_buckets*(capacity+1))), so the batch exact-confirm pass
+    over the candidates yields the exact heavy hitters.
+
+    State is O(capacity) per bucket — constant, watermark-free — and
+    survives restarts through the streaming checkpoint."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from xjs.pipeline.heavy import _mg_reduce
+
+    src = stream_df.select(
+        F.col(col).alias("item"),
+        F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        counts: dict = {}
+        if state.exists:
+            items, ests = state.get
+            counts = dict(zip(items, ests))
+        for pdf in pdfs:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            counts = _mg_reduce(counts, capacity)
+        state.update((list(counts.keys()), list(counts.values())))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "item": list(counts.keys()),
+                "est": list(counts.values()),
+            }
+        )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket int, item long, est long",
+        stateStructType="items array<long>, ests array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_stats(
     df: DataFrame,
     entity_col: str,
