@@ -41,3 +41,10 @@ def test_packing_invariants(spark, sf_dir):
     for r in agg.collect():
         assert r["maxbin"] <= r["tot"] // BUDGET
     assert n_docs == out.select("doc_id").distinct().count()
+
+
+def test_packing_single_shuffle(spark, sf_dir):
+    from xjs.pipeline.packing import q_pack_sequences
+
+    plan = q_pack_sequences(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # one stratum shuffle

@@ -68,3 +68,14 @@ def test_revenue_star_join_broadcasts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2  # both dims broadcast
     assert "SortMergeJoin" not in plan  # fact table never shuffles for joins
     assert df.count() == 25
+
+
+def test_boilerplate_totals_broadcast(spark, sf_dir):
+    from xjs.pipeline.boilerplate import q_boilerplate_grams
+
+    plan = (
+        q_boilerplate_grams(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # gram-side aggregation shuffles; the per-group totals join must not
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
