@@ -95,3 +95,27 @@ def test_asof_tolerance_query(spark):
             assert (r["ts"] - r["click_ts"]).total_seconds() <= 30 * 60
         elif r["click_ts"] is not None:
             assert (r["ts"] - r["click_ts"]).total_seconds() > 30 * 60
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """The (key, time-bucket) scale path must reproduce the plain
+    as-of join exactly on real interleaved data — including left rows
+    whose match sits many empty buckets back."""
+    from xjs.pipeline.asof import asof_join, asof_join_bucketed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "click")
+    kw = dict(
+        key="user_id", left_ts="ts", right_ts="ts",
+        values={"event_id": "m_id", "value": "m_value", "ts": "m_ts"},
+        tiebreak="event_id",
+    )
+    plain = asof_join(left, right, **kw)
+    bucketed = asof_join_bucketed(left, right, bucket="hour", **kw)
+    assert plain.count() == bucketed.count() > 0
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
+    # the big-data shuffle is on (key, bucket), not key alone
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_k#" in plan and "_b#" in plan

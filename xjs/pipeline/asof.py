@@ -85,6 +85,114 @@ def asof_join(
     return carried.where(F.col("_side") == 1).drop("_side")
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    values: dict[str, str],
+    tiebreak: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """The 100 TB form of ``asof_join``: shuffle on (key, time-bucket)
+    instead of key alone, so a hot key spreads across its buckets and
+    no reducer ever holds a whole key.
+
+    Three stages, same output as ``asof_join``:
+
+    1. local carry within (key, bucket) — the union+window trick,
+       partitioned by (key, bucket);
+    2. per-(key, bucket) summaries of the right side (payload of the
+       latest right row), then a carry of summaries across buckets per
+       key — this window is over bucket-grain rows (thousands per key
+       at most), not row-grain;
+    3. join the summary carry back on (key, bucket) and coalesce:
+       a left row takes its in-bucket match, else the latest right
+       payload from any earlier bucket.
+    """
+    lcols = left.columns
+    clash = set(values.values()) & set(lcols)
+    if clash:
+        raise ValueError(f"value aliases collide with left columns: {sorted(clash)}")
+    rtype = dict(right.dtypes)
+    ltype = dict(left.dtypes)
+
+    def payload(src_df_prefixed: bool = False):
+        return F.struct(
+            *[F.col(f"_v_{a}").alias(a) for a in values.values()]
+        )
+
+    rside = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.date_trunc(bucket, F.col(right_ts)).alias("_b"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        *[F.col(src).alias(f"_v_{a}") for src, a in values.items()],
+        *[F.lit(None).cast(ltype[c]).alias(c) for c in lcols],
+    )
+    lside = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.date_trunc(bucket, F.col(left_ts)).alias("_b"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtype[tiebreak]).alias("_tb"),
+        *[F.lit(None).cast(rtype[src]).alias(f"_v_{a}") for src, a in values.items()],
+        *[F.col(c) for c in lcols],
+    )
+    u = rside.unionByName(lside)
+
+    # stage 1: in-bucket carry (hot key spread over its buckets)
+    w_local = (
+        Window.partitionBy("_k", "_b")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NB: a struct whose fields are all NULL is itself non-NULL, so the
+    # payload must be gated on the side bit or left rows would clobber
+    # the ignorenulls carry with empty structs
+    right_payload = F.when(F.col("_side") == 0, payload())
+    local = u.select(
+        F.col("_side"),
+        F.col("_k"),
+        F.col("_b"),
+        *lcols,
+        F.last(right_payload, ignorenulls=True).over(w_local).alias("_local"),
+    ).where(F.col("_side") == 1)
+
+    # stage 2: right-side bucket summaries -> carry across buckets.
+    # spine = every (key, bucket) either side touches, so gaps carry through.
+    summaries = rside.groupBy("_k", "_b").agg(
+        F.max(
+            F.struct(F.col("_ts").alias("ts"), F.col("_tb").alias("tb"), payload().alias("p"))
+        )["p"].alias("_bucket_last")
+    )
+    spine = (
+        u.select("_k", "_b")
+        .distinct()
+        .join(summaries, ["_k", "_b"], "left")
+    )
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.select(
+        "_k",
+        "_b",
+        F.last(F.col("_bucket_last"), ignorenulls=True).over(w_carry).alias("_prev"),
+    )
+
+    # stage 3: coalesce in-bucket match with earlier-bucket carry
+    joined = local.join(carry, ["_k", "_b"])
+    merged = F.coalesce(F.col("_local"), F.col("_prev"))
+    return joined.select(
+        *lcols,
+        *[merged.getField(a).alias(a) for a in values.values()],
+    )
+
+
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each error event: the latest preceding click by the same
     user (as-of), plus ``recent_click_id`` gated to a 30-minute
