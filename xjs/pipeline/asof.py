@@ -118,10 +118,8 @@ def asof_join_bucketed(
     rtype = dict(right.dtypes)
     ltype = dict(left.dtypes)
 
-    def payload(src_df_prefixed: bool = False):
-        return F.struct(
-            *[F.col(f"_v_{a}").alias(a) for a in values.values()]
-        )
+    def payload():
+        return F.struct(*[F.col(f"_v_{a}").alias(a) for a in values.values()])
 
     rside = right.select(
         F.col(key).alias("_k"),

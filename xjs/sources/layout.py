@@ -17,7 +17,7 @@ the parquet fallback here produces the identical physical layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def write_clustered(
