@@ -22,9 +22,12 @@ keyword dispatch — does all the work:
   simhash / jaccard / exact-substring / embedding-cosine + survivor
   clustering), similarity search (brute / LSH / IVF / PQ-ADC), text
   quality / lang-id / repetition / token counting, deterministic +
-  stratified sampling, decontamination, URL canonicalization, domain
-  reputation, multimodal plumbing — the operations a web-scale
-  training-data pipeline needs.
+  stratified + weighted sampling, decontamination, URL
+  canonicalization, domain reputation, boilerplate n-gram detection,
+  PII scan/redaction, as-of joins (plain + time-bucketed), heavy
+  hitters (batch + streaming Misra-Gries), sequence packing,
+  multimodal plumbing — the operations a web-scale training-data
+  pipeline needs.
 
 Reference parity citations use ``file:line`` into /root/reference.
 """
