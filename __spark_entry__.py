@@ -26,7 +26,7 @@ from xjs.flagship import (  # noqa: E402
     oracle_violations_sql,
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
-from xjs.checks import drift, freshness, monotonicity, referential, stats, uniqueness  # noqa: E402
+from xjs.checks import drift, freshness, monotonicity, outliers, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import (  # noqa: E402
     asof,
     boilerplate,
@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_monotonicity_events": monotonicity.events_ts_monotonicity,
         "freshness": freshness.q_freshness,
         "row_count_anomaly": freshness.q_row_count_anomaly,
+        "outlier_text_lengths": outliers.q_outlier_text_lengths,
         # training-data pipeline ops
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash_lsh": dedup.q_dedup_minhash,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_monotonicity_events": monotonicity.ORACLE_EVENTS_MONOTONICITY_SQL,
         "freshness": freshness.oracle_freshness_sql(DUCKDB_CTE),
         "row_count_anomaly": freshness.oracle_row_count_anomaly_sql(DUCKDB_CTE),
+        "outlier_text_lengths": outliers.oracle_outlier_text_lengths_sql(DUCKDB_CTE),
         "dedup_exact": dedup.ORACLE_DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": dedup.oracle_dedup_minhash_sql(),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(),
