@@ -357,3 +357,34 @@ def test_streaming_heavy_hitters_candidates_cover_batch(spark, sf_dir, tmp):
         if r["count"] * S_DEN >= S_NUM * total
     }
     assert confirmed == batch
+
+
+def test_streaming_pii_redaction_equals_batch(spark, sf_dir, tmp):
+    """PII scan/redaction is stateless Column algebra, so the same
+    expressions run unchanged on a stream; sink == batch output."""
+    from xjs.pipeline.pii import pii_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/in/b1")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/in/b2")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+    )
+    q = (
+        pii_scan(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{tmp}/out")
+    expected = pii_scan(docs)
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected.select(got.columns)).count() == 0
