@@ -44,3 +44,21 @@ def test_clustered_scan_reads_fewer_rows(spark, sf_dir, tmp):
     assert df.count() == 10
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan
+
+
+def test_compaction_shrinks_file_count(spark, sf_dir, tmp):
+    from xjs.sources.layout import compact_small_files
+
+    wp = webpages(spark, sf_dir).select("doc_id", "url", "text")
+    wp.repartition(32).write.parquet(f"{tmp}/small")  # 32 tiny files
+    import os
+    n_in = sum(1 for f in os.listdir(f"{tmp}/small") if f.endswith(".parquet"))
+    assert n_in >= 16
+
+    n_out = compact_small_files(spark, f"{tmp}/small", f"{tmp}/compact", target_mb=64)
+    files = [f for f in os.listdir(f"{tmp}/compact") if f.endswith(".parquet")]
+    assert len(files) == n_out == 1  # tiny table -> one file
+    assert (
+        spark.read.parquet(f"{tmp}/compact").count()
+        == spark.read.parquet(f"{tmp}/small").count()
+    )

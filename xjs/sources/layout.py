@@ -68,3 +68,33 @@ def pruning_ratio(path: str, column: str, lo, hi) -> float:
         return 0.0
     hit = sum(1 for a, b in ranges if not (b < lo or a > hi))
     return 1.0 - hit / len(ranges)
+
+
+def compact_small_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Shuffle-free small-file compaction: size the output file count
+    from the input's actual bytes (driver-side listing, no data read)
+    and rewrite through ``coalesce`` — partitions are concatenated,
+    never shuffled, so the cost is one read+write pass and within-file
+    row order is preserved.  Returns the output file count.
+
+    The 10^12-row relevance: streaming sinks and per-partition
+    checkpointed writes leave thousands of KB-sized files per day;
+    unpacked, every downstream scan pays task-per-file scheduling and
+    footer overhead.  On Iceberg this is `rewrite_data_files`; the
+    parquet form is the same maintenance pass."""
+    import math
+    import os
+
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(in_path)
+        if e.name.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(in_path).coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out
