@@ -142,6 +142,47 @@ GROUP BY n_name
 """
 
 
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way join chain (orders ⋈ customer ⋈ nation ⋈ region):
+    the dimension chain collapses to nested broadcasts — nation⋈region
+    resolves executor-side first (both broadcast), then customer maps
+    orders to the pre-joined geography.  The fact table still never
+    shuffles until the final 5-key aggregate."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    geo = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(geo), orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_REGION_SQL = """
+SELECT r_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 PRICING_CUTOFF = "1998-09-01"
 
 
