@@ -152,6 +152,19 @@ def build_queries(spark, sf_dir: str, factor: int):
 
         return asof.q_asof_clicks(spark, sf_dir)
 
+    def q_pack():
+        from xjs.pipeline import packing
+
+        w = wp().withColumn("lang2", F.coalesce(F.col("lang"), F.lit("xx")))
+        return packing.pack_sequences(w, "lang2", "doc_id")
+
+    def q_boilerplate():
+        from xjs.pipeline import boilerplate
+
+        return boilerplate.boilerplate_grams(
+            wp().select("source", "text"), "source"
+        )
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -179,6 +192,8 @@ def build_queries(spark, sf_dir: str, factor: int):
         "text_pii": q_pii,
         "heavy_hitters_domains": q_heavy,
         "asof_join_clicks": q_asof,
+        "pack_sequences": q_pack,
+        "boilerplate_grams": q_boilerplate,
         "dynamic_json_udf": q_dynamic_udf,
     }
 
