@@ -79,3 +79,39 @@ def test_boilerplate_totals_broadcast(spark, sf_dir):
     # gram-side aggregation shuffles; the per-group totals join must not
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_edges_variant(spark):
+    """Edge-window variant: identical to the full operator on short
+    docs; on long docs it sees edge grams and skips middle grams."""
+    from xjs.pipeline.boilerplate import (
+        boilerplate_grams,
+        boilerplate_grams_edges,
+        edge_grams,
+    )
+
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (i, "a", f"unique words number {i} only here " + footer) for i in range(6)
+    ] + [(9, "a", "no footer in this one document at all")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    full = {(r["source"], r["gram"]) for r in boilerplate_grams(df, "source").collect()}
+    edge = {
+        (r["source"], r["gram"])
+        for r in boilerplate_grams_edges(df, "source").collect()
+    }
+    assert full == edge  # short docs: exact equality
+
+    # long doc: middle grams invisible, edge grams visible
+    middle = " ".join(f"m{i}" for i in range(200))
+    long_doc = spark.createDataFrame(
+        [(1, "x", f"head one two three four {middle} tail five six seven eight")],
+        "doc_id bigint, source string, text string",
+    )
+    grams = long_doc.select(
+        F.explode(edge_grams(F.col("text"), 5, 8)).alias("g")
+    ).collect()
+    gs = {r["g"] for r in grams}
+    assert "head one two three four" in gs
+    assert "five six seven eight" in " ".join(gs)
+    assert not any(g.startswith("m50 ") for g in gs)  # middle skipped

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xjs.pipeline.text import token_ngrams
+from xjs.pipeline.text import token_ngrams, tokens
 
 NGRAM = 5
 THRESH_NUM, THRESH_DEN = 1, 4   # boilerplate = gram in >= 25% of the group's docs
@@ -43,6 +43,60 @@ def boilerplate_grams(
     per_doc = df.select(
         F.col(group_col),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    gram_df = per_doc.groupBy(group_col, "gram").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return gram_df.join(F.broadcast(totals), group_col).where(
+        F.col("n_docs_with") * thresh_den >= thresh_num * F.col("n_docs")
+    )
+
+
+def edge_grams(text: Column, n: int = NGRAM, edge_tokens: int = 32) -> Column:
+    """Distinct token n-grams of the document's head and tail windows
+    only — the production constant-cutter: site boilerplate lives at
+    document edges, and full-document gram construction (interpreted
+    HOFs) dominates the operator's cost (SCALE.md 8c).  Short docs
+    (<= 2*edge_tokens tokens) produce exactly their full gram set;
+    long docs skip middle grams.  No junction artifacts: each edge is
+    grammed separately."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+
+    def grams_of(arr: Column) -> Column:
+        c = F.size(arr)
+        return F.when(
+            c >= n,
+            F.transform(
+                F.sequence(F.lit(1), c - n + 1),
+                lambda i: F.array_join(F.slice(arr, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    head = F.slice(toks, 1, edge_tokens)
+    tail = F.slice(toks, -edge_tokens, edge_tokens)
+    return F.when(
+        cnt <= 2 * edge_tokens,
+        F.array_distinct(token_ngrams(text, n)),
+    ).otherwise(F.array_distinct(F.concat(grams_of(head), grams_of(tail))))
+
+
+def boilerplate_grams_edges(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = NGRAM,
+    edge_tokens: int = 32,
+    thresh_num: int = THRESH_NUM,
+    thresh_den: int = THRESH_DEN,
+) -> DataFrame:
+    """``boilerplate_grams`` over edge windows only (same output
+    schema; equal results whenever the boilerplate sits within
+    ``edge_tokens`` of a document end, which is its definition)."""
+    per_doc = df.select(
+        F.col(group_col),
+        F.explode(edge_grams(F.col(text_col), n, edge_tokens)).alias("gram"),
     )
     gram_df = per_doc.groupBy(group_col, "gram").agg(
         F.count(F.lit(1)).alias("n_docs_with")
