@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": similarity.q_dedup_embedding,
         "similarity_pq_codes": similarity.pq_codes,
         "similarity_pq_topk": similarity.pq_topk,
+        "embedding_quality": similarity.q_embedding_quality,
         "text_quality": text.q_text_quality,
         "text_langid": text.q_text_langid,
         "text_fingerprint": text.q_text_fingerprint,
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": similarity.oracle_dedup_embedding_sql(),
         "similarity_pq_codes": similarity.oracle_pq_codes_sql(),
         "similarity_pq_topk": similarity.oracle_pq_topk_sql(),
+        "embedding_quality": similarity.oracle_embedding_quality_sql(),
         "text_quality": text.ORACLE_TEXT_QUALITY_SQL,
         "text_langid": text.oracle_text_langid_sql(),
         "text_fingerprint": text.oracle_text_fingerprint_sql(),

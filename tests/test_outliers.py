@@ -26,3 +26,23 @@ def test_outliers_threshold_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan  # thresholds broadcast back
     assert "SortMergeJoin" not in plan  # the table never shuffles for the join
+
+
+def test_embedding_quality_degenerate_vectors(spark):
+    from xjs.pipeline.similarity import embedding_quality
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+        (3, [float("nan"), 1.0, 0.0, 0.0]), # NaN component
+        (4, [1.0, 2.0]),                    # wrong dim
+        (5, [float("inf"), 0.0, 0.0, 0.0]), # Inf component
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_quality(df, expected_dim=4).collect()}
+    assert out[1]["l2_norm"] == 1.0 and not out[1]["is_zero"]
+    assert out[2]["is_zero"] and not out[2]["has_nonfinite"]
+    assert out[3]["has_nonfinite"]
+    assert out[4]["dim_violation"] and out[4]["dim"] == 2
+    assert out[5]["has_nonfinite"]
+    assert not out[1]["dim_violation"]

@@ -641,3 +641,58 @@ ranked AS (
 SELECT query_id, neighbor_id, approx_d2, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding vector QA
+# ---------------------------------------------------------------------------
+
+EXPECTED_DIM = 64
+
+
+def embedding_quality(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      expected_dim: int = EXPECTED_DIM) -> DataFrame:
+    """Vector-table QA: dimensionality violations, zero vectors,
+    NaN/Inf components, L2 norm — the checks that catch a broken
+    embedding job before it poisons ANN indexes and near-dup passes.
+
+    Narrow single-pass Catalyst (one sequential fold per row, same
+    IEEE evaluation order as the SQL oracle, so norms compare
+    bit-stable after rounding); at 100 TB this fuses into the scan
+    like every other row-local check."""
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    has_bad = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("dim"),
+        (F.size(v) != expected_dim).alias("dim_violation"),
+        (sq == 0.0).alias("is_zero"),
+        has_bad.alias("has_nonfinite"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+    )
+
+
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_quality(emb)
+
+
+def oracle_embedding_quality_sql() -> str:
+    sq = ("list_reduce(list_prepend(0.0, "
+          "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+          "(a, b) -> a + b)")
+    return f"""
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(embedding) <> {EXPECTED_DIM} AS dim_violation,
+       {sq} = 0.0 AS is_zero,
+       len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 AS has_nonfinite,
+       round(sqrt({sq}), 6) AS l2_norm
+FROM embeddings
+"""
