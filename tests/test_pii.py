@@ -36,3 +36,46 @@ def test_pii_plan_is_narrow(spark, sf_dir):
 
     plan = q_text_pii(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: fused into the scan
+
+
+def test_pii_regex_parity_spark_vs_duckdb(spark):
+    """Java regex (Spark) and RE2 (DuckDB) must agree on counts AND
+    redacted bytes over adversarial near-miss strings, not just the
+    fixture corpus."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab1.-@ 25c%_+"
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.text(alphabet, max_size=40), min_size=1, max_size=30))
+    def run(texts):
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        df = spark.createDataFrame(pdf)
+        got = (
+            pii_scan(df).orderBy("doc_id")
+            .select("n_email", "n_ipv4", "n_phone", "redacted_hash")
+            .collect()
+        )
+        from xjs.pipeline.pii import PII_PATTERNS
+        from xjs.pipeline.hashing import char_hash_sql
+
+        con = duckdb.connect()
+        con.register("t", pdf)
+        counts = ", ".join(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+            for name, pat, _ in PII_PATTERNS
+        )
+        red = "text"
+        for _, pat, repl in PII_PATTERNS:
+            red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+        want = con.sql(
+            f"SELECT {counts}, {char_hash_sql(red)} AS redacted_hash "
+            "FROM t ORDER BY doc_id"
+        ).fetchall()
+        for g, w in zip(got, want):
+            assert (g["n_email"], g["n_ipv4"], g["n_phone"], g["redacted_hash"]) == w
+
+    run()
