@@ -388,3 +388,40 @@ def test_streaming_pii_redaction_equals_batch(spark, sf_dir, tmp):
     expected = pii_scan(docs)
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected.select(got.columns)).count() == 0
+
+
+def test_streaming_duplicate_keys_equals_batch(spark, sf_dir, tmp):
+    """Windowed duplicate-key stream == the same windowed groupBy on
+    the static table, for every watermark-closed window."""
+    from xjs.streaming import stream_duplicate_keys
+
+    wp = webpages(spark, sf_dir)
+    wp.filter(F.col("partition_id") < 8).write.parquet(f"{tmp}/in/b1")
+    wp.filter(F.col("partition_id") >= 8).write.parquet(f"{tmp}/in/b2")
+
+    stream = (
+        spark.readStream.schema(wp.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+    )
+    q = (
+        stream_duplicate_keys(stream, "url", "warc_ts")
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/dups")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{tmp}/dups")
+    max_ts = wp.agg(F.max("warc_ts")).first()[0]
+    batch = (
+        wp.groupBy(F.window(F.col("warc_ts"), "2 minutes").alias("window"), "url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("window.end") <= max_ts))
+    )
+    closed = got.where(F.col("window.end") <= max_ts)
+    assert closed.count() == batch.count() > 0
+    assert closed.exceptAll(batch.select(closed.columns)).count() == 0

@@ -204,6 +204,30 @@ def stream_exact_dedup(
     )
 
 
+def stream_duplicate_keys(
+    stream_df: DataFrame,
+    key: str,
+    ts_col: str,
+    window: str = "2 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of the uniqueness check at window grain:
+    (window, key, n) for keys seen more than once inside an event-time
+    window.  The watermark bounds state to open windows — global
+    all-time uniqueness on an unbounded stream is unbounded state by
+    definition, so the streaming form is windowed (the batch engine
+    owns the global check).  The count aggregate partial-aggregates
+    map-side, so a hot key costs one row per (window, map task), same
+    salting story as the batch check."""
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
 def stream_referential_violations(
     stream_df: DataFrame,
     dim: DataFrame,
