@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "report_revenue_by_nation": reports.revenue_by_nation,
         "report_lineitem_pricing": reports.lineitem_pricing,
         "report_revenue_by_region": reports.revenue_by_region,
+        "report_top_orders_segment": reports.top_orders_in_segment,
         "report_verdict_rollup": reports.verdict_rollup,
         # pipeline compositions
         "dedup_clusters": clusters.q_dedup_clusters,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "report_revenue_by_nation": reports.ORACLE_REVENUE_BY_NATION_SQL,
         "report_lineitem_pricing": reports.ORACLE_LINEITEM_PRICING_SQL,
         "report_revenue_by_region": reports.ORACLE_REVENUE_BY_REGION_SQL,
+        "report_top_orders_segment": reports.ORACLE_TOP_ORDERS_SQL,
         "report_verdict_rollup": reports.oracle_verdict_rollup_sql(
             oracle_verdicts_sql(DUCKDB_CTE)
         ),

@@ -183,6 +183,34 @@ GROUP BY r_name
 """
 
 
+SEGMENT = "BUILDING"
+
+
+def top_orders_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: dimension-filtered fact top-k.  The segment
+    filter prunes the customer dim BEFORE the broadcast (ship the
+    filtered dim, not the full one), and the top-k is a TakeOrdered —
+    per-partition heaps + one k-row merge, never a global sort."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg = customer.where(F.col("c_mktsegment") == SEGMENT).select("c_custkey")
+    return (
+        orders.join(F.broadcast(seg), orders["o_custkey"] == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE_TOP_ORDERS_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SEGMENT}'
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {TOP_K}
+"""
+
+
 PRICING_CUTOFF = "1998-09-01"
 
 
