@@ -252,25 +252,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     flagship_dps = round(n_docs / timings["webpages_violations"], 1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline validation suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "n_docs": n_docs,
-                "factor": factor,
-                "cpus": cpus,
-                "reps": reps,
-                "protocol": f"best-of-{reps} per query, +reps (max {max_reps}) while samples disagree >30%",
-                **({"noisy_samples": noisy} if noisy else {}),
-                "docs_per_sec_flagship": flagship_dps,
-                **_deltas_vs_previous_round(timings, total),
-            }
-        )
-    )
+    deltas = _deltas_vs_previous_round(timings, total)
+    # stdout carries ONE compact line (the driver tails ~2000 chars; the
+    # round-2 line, bloated by noisy_samples + per-query deltas, got
+    # truncated and recorded as parsed:null) — protocol detail and raw
+    # samples go to BENCH/last_run.json instead
+    compact = {
+        "metric": "headline validation suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "factor": factor,
+        "cpus": cpus,
+        "docs_per_sec_flagship": flagship_dps,
+        **{k: deltas[k] for k in ("delta_total", "deltas_vs_round") if k in deltas},
+    }
+    detail = {
+        **compact,
+        "reps": reps,
+        "protocol": f"best-of-{reps} per query, +reps (max {max_reps}) while samples disagree >30%",
+        **({"noisy_samples": noisy} if noisy else {}),
+        **deltas,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(compact))
 
 
 def _deltas_vs_previous_round(timings: dict, total: float) -> dict:

@@ -48,3 +48,43 @@ def test_packing_single_shuffle(spark, sf_dir):
 
     plan = q_pack_sequences(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1  # one stratum shuffle
+
+
+def test_packing_global_equals_window_form(spark, sf_dir):
+    """The chunked two-stage prefix sum must reproduce the single
+    global window exactly — including across chunk boundaries (chunk=16
+    forces ~30 boundaries on the 500-doc corpus)."""
+    from pyspark.sql import Window
+
+    from xjs.pipeline.packing import BUDGET, pack_sequences_global
+    from xjs.pipeline.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = pack_sequences_global(docs, "doc_id", chunk=16)
+
+    w = Window.orderBy("doc_id")
+    n_tok = token_count(F.col("text")).cast("long")
+    start = (F.sum(n_tok).over(w) - n_tok).cast("long")
+    want = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(start / BUDGET).alias("bin_id"),
+        (start % BUDGET).alias("bin_offset"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_packing_global_parallel_local_stage(spark, sf_dir):
+    """The row-grain local-cumsum window must be partitioned by chunk
+    (parallel), never a global single-partition window over the docs."""
+    from xjs.pipeline.packing import pack_sequences_global
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        pack_sequences_global(docs, "doc_id", chunk=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only SinglePartition exchange feeds the chunk-grain offsets
+    # window (tiny), and the doc-grain window keys on _chunk
+    assert "hashpartitioning(_chunk" in plan

@@ -130,6 +130,101 @@ def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_grams(injected, "source")
 
 
+# ---------------------------------------------------------------------------
+# edge-regime corpus: page-length docs with header/footer boilerplate —
+# the regime the edge-window cutter exists for (real web pages are
+# 100s-1000s of tokens; the base word-salad docs are ~50)
+# ---------------------------------------------------------------------------
+
+EDGE_REPEAT = 12  # body = doc text repeated 12x (~600 tokens)
+
+
+def edge_regime_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = F.trim(F.repeat(F.concat(F.col("text"), F.lit(" ")), EDGE_REPEAT))
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("breaking news from "), F.col("source"), F.lit(" network today "),
+            body,
+            F.lit(" subscribe to "), F.col("source"), F.lit(" newsletter today now"),
+        ),
+    ).otherwise(body)
+    return d.select("doc_id", "source", injected.alias("text"))
+
+
+_EDGE_INJECT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN 'breaking news from ' || source || ' network today ' || body "
+    "|| ' subscribe to ' || source || ' newsletter today now' "
+    "ELSE body END"
+)
+
+
+def q_boilerplate_grams_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production headline form: edge-window grams over page-length
+    documents.  Header/footer boilerplate sits inside the 32-token edge
+    windows by construction (which is the operator's definition of
+    boilerplate), so the result equals the full-document scan at ~1/10
+    the gram-construction cost on 600-token pages."""
+    return boilerplate_grams_edges(edge_regime_corpus(spark, sf_dir), "source")
+
+
+def oracle_boilerplate_grams_edges_sql() -> str:
+    w, e = NGRAM, 32
+    full = (
+        f"CASE WHEN len(t) >= {w} "
+        f"THEN list_transform(range(1, len(t) - {w} + 2), "
+        f"i -> array_to_string(t[i:i+{w - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+    head_grams = (
+        f"list_transform(range(1, {e} - {w} + 2), "
+        f"i -> array_to_string(head[i:i+{w - 1}], ' '))"
+    )
+    tail_grams = (
+        f"list_transform(range(1, {e} - {w} + 2), "
+        f"i -> array_to_string(tail[i:i+{w - 1}], ' '))"
+    )
+    return f"""
+WITH injected AS (
+    SELECT doc_id, source, {_EDGE_INJECT_SQL} AS text
+    FROM (SELECT doc_id, source, trim(repeat(text || ' ', {EDGE_REPEAT})) AS body
+          FROM documents)
+),
+toks AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM injected WHERE length(trim(text)) > 0
+),
+sliced AS (
+    SELECT doc_id, source, t,
+           t[1:{e}] AS head,
+           list_slice(t, greatest(len(t) - {e - 1}, 1), len(t)) AS tail
+    FROM toks
+),
+egrams AS (
+    SELECT doc_id, source,
+           CASE WHEN len(t) <= {2 * e} THEN {full}
+                ELSE {head_grams} || {tail_grams}
+           END AS gl
+    FROM sliced
+),
+grams AS (
+    SELECT DISTINCT doc_id, source, UNNEST(gl) AS gram FROM egrams
+),
+doc_grams AS (
+    SELECT source, gram, COUNT(*) AS n_docs_with
+    FROM grams GROUP BY source, gram
+),
+totals AS (
+    SELECT source, COUNT(*) AS n_docs FROM injected GROUP BY source
+)
+SELECT g.source, g.gram, g.n_docs_with, t.n_docs
+FROM doc_grams g JOIN totals t USING (source)
+WHERE g.n_docs_with * {THRESH_DEN} >= {THRESH_NUM} * t.n_docs
+"""
+
+
 def oracle_boilerplate_grams_sql() -> str:
     w = NGRAM
     return f"""

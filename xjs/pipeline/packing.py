@@ -56,6 +56,89 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "lang", "doc_id")
 
 
+CHUNK = 4096  # docs per prefix-sum chunk (tune so a chunk ~ one task)
+
+
+def pack_sequences_global(
+    df: DataFrame,
+    order_col: str,
+    text_col: str = "text",
+    budget: int = BUDGET,
+    chunk: int = CHUNK,
+) -> DataFrame:
+    """Global (single-stream) concat-and-chop packing — the two-stage
+    prefix sum SCALE.md 8d describes, so ONE global stream never
+    serializes on one reducer (the per-stratum window form does exactly
+    that when a stratum holds most of the corpus — English at half the
+    web).
+
+    Stage 1: rows are assigned to deterministic chunks
+    (``floor(order_col / chunk)`` — logical, not
+    ``spark_partition_id``, so the result is plan-independent and
+    SQL-oracle-checkable) and each chunk computes its local running
+    prefix sum in parallel.  Stage 2: per-chunk token totals (N/chunk
+    rows — ~250k rows at 10^12 docs) get a cumulative-offset window on
+    one reducer, which is fine at that grain, and broadcast-join back.
+    Output start offsets equal the single global window's exactly
+    (equivalence pinned in tests/test_packing.py)."""
+    n_tok = token_count(F.col(text_col))
+    toks = df.select(
+        F.col(order_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.floor(F.col(order_col) / chunk).cast("long").alias("_chunk"),
+    )
+    w_local = Window.partitionBy("_chunk").orderBy(order_col)
+    local = toks.withColumn("_cum", F.sum("n_tokens").over(w_local))
+    totals = toks.groupBy("_chunk").agg(F.sum("n_tokens").alias("_t"))
+    # chunk-grain rows only: a single-partition window here is the
+    # design (tiny input), not an accident
+    w_chunks = (
+        Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_chunk",
+        F.coalesce(F.sum("_t").over(w_chunks), F.lit(0)).alias("_offset"),
+    )
+    start = F.col("_offset") + F.col("_cum") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), "_chunk")
+        .select(
+            F.col(order_col),
+            F.col("n_tokens"),
+            F.floor(start / budget).alias("bin_id"),
+            (start % budget).alias("bin_offset"),
+        )
+    )
+
+
+def q_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences_global(docs, "doc_id")
+
+
+def oracle_pack_sequences_global_sql() -> str:
+    """The oracle states the SEMANTICS (one global prefix sum); the
+    Spark side must make its chunked two-stage computation equal it."""
+    n_tok = (
+        "(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start
+    FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(start / {BUDGET}) AS BIGINT) AS bin_id,
+       start % {BUDGET} AS bin_offset
+FROM cum
+"""
+
+
 def oracle_pack_sequences_sql() -> str:
     n_tok = (
         "(CASE WHEN length(trim(text)) = 0 THEN 0 "

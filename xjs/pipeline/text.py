@@ -193,6 +193,79 @@ def oracle_text_langid_sql() -> str:
     return _langid_sql()
 
 
+# ---------------------------------------------------------------------------
+# pluggable model hook (real langid / tokenizer models drop in here)
+# ---------------------------------------------------------------------------
+
+def text_model_adapter(
+    df: DataFrame,
+    out_col: str,
+    model_fn,
+    out_type: str = "string",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The adapter contract for real text models (fastText langid, a
+    BPE tokenizer, a quality classifier): ``model_fn`` is a vectorized
+    ``pd.Series[str] -> pd.Series`` callable invoked per Arrow batch
+    via ``mapInPandas`` — never per row.  At 100 TB this is a narrow
+    map stage: the model loads once per worker inside the generator
+    (load it lazily in ``model_fn``'s closure), batches stream through
+    Arrow, and no shuffle is introduced.  Output: (id, out_col)."""
+    import pandas as pd  # noqa: F401
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: model_fn(pdf[text_col])}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, {out_col} {out_type}"
+    )
+
+
+def default_langid_model(texts):
+    """Default ``model_fn`` for language-ID: the same stopword-profile
+    heuristic as ``langid()``, vectorized over a pandas Series (python
+    ``str.split()`` == the ``\\s+`` regex split on ASCII corpora; swap
+    in fastText by replacing this function only)."""
+    profiles = [(lang, set(ws)) for lang, ws in LANG_PROFILES]
+
+    def one(t):
+        if t is None:
+            return "und"
+        toks = set(t.lower().split())
+        best_lang, best = "und", 0
+        for lang, ws in profiles:
+            s = len(toks & ws)
+            if s > best:  # strict > : earlier profiles win ties
+                best, best_lang = s, lang
+        return best_lang
+
+    return texts.map(one)
+
+
+def langid_with_model(
+    df: DataFrame, model_fn=None, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-ID through the pluggable adapter; defaults to the
+    stopword heuristic so the adapter path itself is oracle-checked
+    (same DuckDB oracle as ``q_text_langid``)."""
+    return text_model_adapter(
+        df, "lang_pred", model_fn or default_langid_model, "string", text_col, id_col
+    )
+
+
+def q_text_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return langid_with_model(d)
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: min polynomial hash over the char
     FP_GRAM-grams of the first FP_PREFIX chars (winnowing-lite)."""
