@@ -61,6 +61,31 @@ def test_asof_carried_columns_same_row(frames):
             assert r["m_value"] == pairs[r["m_id"]]
 
 
+def test_asof_null_value_column_not_backfilled(spark):
+    """ADVICE r2 repro: when the matched right row carries a NULL value
+    column, that NULL must survive — per-column carries would backfill
+    it from an OLDER right row (left@t10 matching (52,t8,NULL) must
+    NOT surface 7.0 from (51,t5))."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(51, 100, _ts(5), 7.0), (52, 100, _ts(8), None)],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    rows = _run(left, right)
+    assert rows[1]["m_id"] == 52
+    assert rows[1]["m_value"] is None
+    # and the bucketed variant agrees (the 'same output' contract)
+    from xjs.pipeline.asof import asof_join_bucketed
+
+    b = asof_join_bucketed(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        values={"event_id": "m_id", "value": "m_value"}, tiebreak="event_id",
+    ).collect()
+    assert b[0]["m_id"] == 52 and b[0]["m_value"] is None
+
+
 def test_asof_alias_collision_raises(frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):

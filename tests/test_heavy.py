@@ -55,6 +55,35 @@ def test_heavy_hitters_exact_vs_bruteforce(spark):
     assert got == brute and len(brute) >= 1
 
 
+def test_heavy_hitters_null_key_counted(spark):
+    """ADVICE r2: a NULL-heavy column must surface NULL as a hitter —
+    value_counts() silently drops NaN, and a plain equi-join confirm
+    would drop the NULL group again."""
+    df = spark.range(0, 1000, 1, 4).select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("k")  # 50% NULL
+    )
+    got = {
+        (r["k"], r["n_rows"])
+        for r in heavy_hitters(df, "k", s_num=10, s_den=100, capacity=64).collect()
+    }
+    assert got == {(None, 500)}
+
+
+def test_heavy_hitters_string_column(spark):
+    """The sketch and confirm must work on string keys (domains), not
+    just longs."""
+    df = spark.range(0, 300, 1, 4).select(
+        F.when(F.col("id") % 3 == 0, F.lit("hot.example"))
+        .otherwise(F.concat(F.lit("d"), F.col("id").cast("string")))
+        .alias("dom")
+    )
+    got = {
+        (r["dom"], r["n_rows"])
+        for r in heavy_hitters(df, "dom", s_num=10, s_den=100, capacity=64).collect()
+    }
+    assert got == {("hot.example", 100)}
+
+
 def test_heavy_hitters_capacity_precondition():
     with pytest.raises(ValueError, match="capacity"):
         # capacity+1 must exceed s_den/s_num = 200

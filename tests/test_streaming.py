@@ -359,6 +359,42 @@ def test_streaming_heavy_hitters_candidates_cover_batch(spark, sf_dir, tmp):
     assert confirmed == batch
 
 
+def test_streaming_heavy_hitters_string_column(spark, sf_dir, tmp):
+    """ADVICE r2: output/state types must derive from the input column
+    — the hardcoded 'long' broke string keys (domains)."""
+    from xjs.streaming import stream_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("d"), (F.col("user_id") % 5).cast("string")).alias("dom")
+    )
+    ev.write.parquet(f"{tmp}/in/b1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+    )
+    seen = {}
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():
+            seen[r["item"]] = r["est"]
+
+    q = (
+        stream_heavy_hitters(stream, "dom")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # 5 distinct string keys, tiny capacity pressure: all survive with
+    # exact counts
+    want = {r["dom"]: r["count"] for r in ev.groupBy("dom").count().collect()}
+    assert seen == want
+
+
 def test_streaming_pii_redaction_equals_batch(spark, sf_dir, tmp):
     """PII scan/redaction is stateless Column algebra, so the same
     expressions run unchanged on a stream; sink == batch output."""

@@ -30,8 +30,11 @@ def numeric_outliers(
     factor_bp: int = FACTOR_BP,
 ) -> DataFrame:
     """Rows with value * 10000 > quantile(group) * factor_bp, plus the
-    group threshold (integer-scaled compare: no float-boundary drift
-    between engines)."""
+    group threshold.  The basis-point scaling only avoids a division —
+    the threshold itself is an interpolated double, so boundary-row
+    agreement across engines relies on Spark ``percentile`` and DuckDB
+    ``quantile_cont`` sharing the (n-1)*p interpolation definition
+    bit-for-bit (which they do; the oracle row pins it)."""
     tagged = df.withColumn("_val", value)
     thr = tagged.groupBy(group_col).agg(
         F.percentile(F.col("_val"), F.lit(p)).alias("threshold")

@@ -6,12 +6,13 @@ the same key whose timestamp is at-or-before the left timestamp.
 Scale shape: the naive formulation (equi-join on key + ``r.ts <=
 l.ts`` + argmax) explodes to |L_k|x|R_k| rows per key before the
 rank prunes it — quadratic in the hot key.  This implementation
-instead UNIONs both sides tagged with a side bit and computes one
-``last(value, ignorenulls=True)`` carry-forward window per value
-column: a single shuffle on the key, O(|L_k|+|R_k|) rows per key,
-no intermediate blow-up.  All carried columns come from the same
-matched row because right rows are atomic in the sort order (ties
-broken by ``tiebreak``).  Hot-key caveat matches sessionize: one
+instead UNIONs both sides tagged with a side bit and carries one
+side-gated STRUCT payload with a single ``last(payload,
+ignorenulls=True)`` window: a single shuffle on the key,
+O(|L_k|+|R_k|) rows per key, no intermediate blow-up.  The struct is
+what makes the carried columns atomic — per-column carries would
+backfill a NULL value column from an older right row (a mixed row;
+ADVICE r2).  Ties broken by ``tiebreak``.  Hot-key caveat matches sessionize: one
 reducer sees the whole key; time-bucketing the window is the 100 TB
 mitigation (see SCALE.md).
 
@@ -74,15 +75,24 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # one atomic side-gated struct payload, NOT one independent
+    # last(...) per value column: independent carries would backfill a
+    # NULL value column from an OLDER right row, producing a mixed row
+    # (the gate also matters because an all-NULL-fields struct is
+    # itself non-NULL — same trick as asof_join_bucketed stage 1)
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"_v_{a}").alias(a) for a in values.values()]),
+    )
     carried = rside.unionByName(lside).select(
         F.col("_side"),
         *lcols,
-        *[
-            F.last(F.col(f"_v_{alias}"), ignorenulls=True).over(w).alias(alias)
-            for alias in values.values()
-        ],
+        F.last(payload, ignorenulls=True).over(w).alias("_p"),
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return carried.where(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col("_p").getField(a).alias(a) for a in values.values()],
+    )
 
 
 def asof_join_bucketed(
@@ -239,16 +249,23 @@ WITH u AS (
     FROM events WHERE event_type = 'error'
 ),
 c AS (
+    -- atomic struct carry (same semantics as the Spark side): all
+    -- carried columns come from the SAME matched right row, even when
+    -- that row holds NULL value columns
     SELECT side, event_id, k, ts,
-           last_value(v_click_event_id IGNORE NULLS) OVER w AS click_event_id,
-           last_value(v_click_value IGNORE NULLS) OVER w AS click_value,
-           last_value(v_click_ts IGNORE NULLS) OVER w AS click_ts
+           last_value(CASE WHEN side = 0 THEN struct_pack(
+               click_event_id := v_click_event_id,
+               click_value := v_click_value,
+               click_ts := v_click_ts) END IGNORE NULLS) OVER w AS p
     FROM u
     WINDOW w AS (PARTITION BY k ORDER BY sort_ts, side, tb
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT event_id, k AS user_id, ts, click_event_id, click_value, click_ts,
-       CASE WHEN ts <= click_ts + INTERVAL {TOLERANCE_MIN} MINUTES
-            THEN click_event_id END AS recent_click_id
+SELECT event_id, k AS user_id, ts,
+       p.click_event_id AS click_event_id,
+       p.click_value AS click_value,
+       p.click_ts AS click_ts,
+       CASE WHEN ts <= p.click_ts + INTERVAL {TOLERANCE_MIN} MINUTES
+            THEN p.click_event_id END AS recent_click_id
 FROM c WHERE side = 1
 """

@@ -58,12 +58,23 @@ def mg_candidates(df: DataFrame, col: str, capacity: int = CAPACITY) -> DataFram
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
         for pdf in batches:
-            for item, c in pdf[col].value_counts().items():
+            s = pdf[col]
+            # NULL is a countable key (a NULL-heavy column is exactly
+            # the kind of data-quality hotspot this check exists for);
+            # value_counts() drops NaN silently, so count it explicitly
+            # under a None key (ADVICE r2)
+            n_null = int(s.isna().sum())
+            if n_null:
+                counts[None] = counts.get(None, 0) + n_null
+            for item, c in s.dropna().value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
             counts = _mg_reduce(counts, capacity)
         if counts:
             yield pd.DataFrame(
-                {"item": list(counts.keys()), "est": list(counts.values())}
+                {
+                    "item": pd.array(list(counts.keys()), dtype="object"),
+                    "est": list(counts.values()),
+                }
             )
 
     return df.select(col).mapInPandas(summarize, f"item {item_type}, est bigint")
@@ -84,9 +95,11 @@ def heavy_hitters(
             f"capacity {capacity} too small for threshold {s_num}/{s_den}; "
             f"need capacity+1 > {s_den // s_num}"
         )
-    cands = mg_candidates(df, col, capacity).select(F.col("item").alias(col)).distinct()
+    cands = mg_candidates(df, col, capacity).select(F.col("item").alias("_cand")).distinct()
+    # null-safe semi join: a NULL candidate must still match NULL rows
+    # (a plain equi-join key would drop the NULL group at confirm time)
     exact = (
-        df.join(F.broadcast(cands), col, "left_semi")
+        df.join(F.broadcast(cands), F.col(col).eqNullSafe(F.col("_cand")), "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

@@ -98,11 +98,16 @@ def stream_heavy_hitters(
     maintained per hash bucket across micro-batches via
     ``applyInPandasWithState``.  Each batch emits every bucket's
     current (item, est) summary; the union of final summaries is the
-    same provable heavy-hitter superset as the batch sketch (bucket
-    guarantee: an item with global frequency >= s*N has count >=
-    s*N > N_bucket/(capacity+1) inside its own bucket whenever
-    s > 1/(n_buckets*(capacity+1))), so the batch exact-confirm pass
-    over the candidates yields the exact heavy hitters.
+    same provable heavy-hitter superset as the batch sketch.  Bucket
+    guarantee (worst case): an item with global frequency >= s*N has
+    all its count inside one bucket, and N_bucket <= N, so it survives
+    that bucket's MG sketch whenever s > 1/(capacity+1) — the same
+    condition as the batch sketch; bucketing buys state parallelism,
+    NOT a weaker threshold (only under an even-spread assumption
+    N_bucket ~ N/n_buckets does the bound relax to
+    s > 1/(n_buckets*(capacity+1)), which must not be relied on).  The
+    batch exact-confirm pass over the candidates then yields the exact
+    heavy hitters.
 
     State is O(capacity) per bucket — constant, watermark-free — and
     survives restarts through the streaming checkpoint."""
@@ -110,6 +115,11 @@ def stream_heavy_hitters(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from xjs.pipeline.heavy import _mg_reduce
+
+    # derive the item type from the input column (the r2 hardcoded
+    # 'long' broke string-keyed columns like domains); NULL keys count
+    # under a None entry, mirroring the batch sketch
+    item_type = dict(stream_df.dtypes)[col]
 
     src = stream_df.select(
         F.col(col).alias("item"),
@@ -124,22 +134,26 @@ def stream_heavy_hitters(
             items, ests = state.get
             counts = dict(zip(items, ests))
         for pdf in pdfs:
-            for item, c in pdf["item"].value_counts().items():
+            s = pdf["item"]
+            n_null = int(s.isna().sum())
+            if n_null:
+                counts[None] = counts.get(None, 0) + n_null
+            for item, c in s.dropna().value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
             counts = _mg_reduce(counts, capacity)
         state.update((list(counts.keys()), list(counts.values())))
         yield pd.DataFrame(
             {
                 "bucket": key[0],
-                "item": list(counts.keys()),
+                "item": pd.array(list(counts.keys()), dtype="object"),
                 "est": list(counts.values()),
             }
         )
 
     return src.groupBy("bucket").applyInPandasWithState(
         update,
-        outputStructType="bucket int, item long, est long",
-        stateStructType="items array<long>, ests array<long>",
+        outputStructType=f"bucket int, item {item_type}, est long",
+        stateStructType=f"items array<{item_type}>, ests array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
