@@ -234,8 +234,18 @@ def verified_near_duplicates(
     )
 
 
+MINHASH_MAX_BUCKET = 64  # band-bucket cap: the oracle-checked default
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return verified_near_duplicates(dedup_corpus(spark, sf_dir))
+    """Capped by default (r2 verdict #4): the oracle-checked path is
+    the same skew-guarded shape production runs — an uncapped default
+    left the quadratic-bucket exposure on exactly the path the
+    correctness gate proves.  The DuckDB oracle replicates the cap
+    with a windowed bucket count."""
+    return verified_near_duplicates(
+        dedup_corpus(spark, sf_dir), max_bucket=MINHASH_MAX_BUCKET
+    )
 
 
 def near_duplicate_pipeline(
@@ -303,6 +313,7 @@ bands AS (
                UNNEST([{', '.join(bands)}]) AS key
         FROM sigs
     ) WHERE key IS NOT NULL AND key <> ''
+    QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MINHASH_MAX_BUCKET}
 ),
 cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -416,10 +427,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", simhash(F.col("text")).alias("sim"))
 
 
-def simhash_pairs(df: DataFrame) -> DataFrame:
-    """Near-pairs with hamming(sim_a, sim_b) <= HAMMING_T, candidates
-    via shared 15-bit chunk (pigeonhole over SIM_CHUNKS chunks)."""
-    sims = df.select("doc_id", simhash(F.col("text")).alias("sim"))
+def simhash_signatures(df: DataFrame, hash_mode: str = "portable") -> DataFrame:
+    """(doc_id, sim) — the persist-once stage.  Production computes
+    signatures in one pass, writes them next to the corpus, and every
+    downstream pairing/clustering run reads the signature table instead
+    of re-hashing 100 TB of text (r2 verdict #6: the old
+    text-in/pairs-out API invited double computation)."""
+    fn = simhash_native if hash_mode == "native" else simhash
+    return df.select("doc_id", fn(F.col("text")).alias("sim"))
+
+
+def simhash_pairs_from_signatures(sims: DataFrame) -> DataFrame:
+    """Signatures-in/pairs-out: near-pairs with hamming(sim_a, sim_b)
+    <= HAMMING_T, candidates via shared 15-bit chunk (pigeonhole over
+    SIM_CHUNKS chunks).  Input schema: (doc_id, sim)."""
     chunks = sims.select(
         "doc_id", "sim",
         F.posexplode(
@@ -445,8 +466,20 @@ def simhash_pairs(df: DataFrame) -> DataFrame:
     )
 
 
+def simhash_pairs(df: DataFrame) -> DataFrame:
+    """Thin composition kept for API compatibility: signatures then
+    pairs in one expression tree (the narrow signature stage fuses, so
+    this is fine for one-shot use; persist ``simhash_signatures``
+    output when pairing runs more than once)."""
+    return simhash_pairs_from_signatures(simhash_signatures(df))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(dedup_corpus(spark, sf_dir))
+    # deliberately routed through the two-step API so the oracle row
+    # proves the signatures-in/pairs-out path
+    return simhash_pairs_from_signatures(
+        simhash_signatures(dedup_corpus(spark, sf_dir))
+    )
 
 
 def _simhash_sql_expr() -> str:

@@ -284,8 +284,16 @@ def embedding_near_duplicates(
     )
 
 
+EMB_MAX_BUCKET = 64  # LSH-bucket cap: the oracle-checked default
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_duplicates(neardup_embedding_corpus(spark, sf_dir))
+    """Capped by default (r2 verdict #4) — the oracle proves the same
+    skew-guarded path production runs; the DuckDB side replicates the
+    cap with a windowed bucket count."""
+    return embedding_near_duplicates(
+        neardup_embedding_corpus(spark, sf_dir), max_bucket=EMB_MAX_BUCKET
+    )
 
 
 _NEARDUP_CORPUS_CTE = f"""
@@ -308,7 +316,10 @@ emb AS (
 def oracle_dedup_embedding_sql() -> str:
     return f"""
 WITH {_NEARDUP_CORPUS_CTE.strip()},
-bucketed AS (SELECT vec_id, emb, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb),
+bucketed AS (
+    SELECT vec_id, emb, CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM emb
+    QUALIFY COUNT(*) OVER (PARTITION BY CAST({_BUCKET_SQL} AS INTEGER)) <= {EMB_MAX_BUCKET}
+),
 scored AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({_DOT_SQL} /
