@@ -165,6 +165,23 @@ def build_queries(spark, sf_dir: str, factor: int):
             wp().select("source", "text"), "source"
         )
 
+    # edge-regime corpus (page-length docs): materialized once so the
+    # bench measures the boilerplate operator, not corpus synthesis
+    edge_path = wp_path + "-edges"
+    if not os.path.exists(os.path.join(edge_path, "_SUCCESS")):
+        from xjs.pipeline import boilerplate
+
+        boilerplate.edge_regime_transform(
+            spark.read.parquet(wp_path)
+        ).write.mode("overwrite").parquet(edge_path)
+
+    def q_boilerplate_edges():
+        from xjs.pipeline import boilerplate
+
+        return boilerplate.boilerplate_grams_edges(
+            spark.read.parquet(edge_path).select("source", "text"), "source"
+        )
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -193,6 +210,10 @@ def build_queries(spark, sf_dir: str, factor: int):
         "heavy_hitters_domains": q_heavy,
         "asof_join_clicks": q_asof,
         "pack_sequences": q_pack,
+        # headline boilerplate row: the edge-window production form on
+        # a page-length corpus (the shape a 100 TB run uses — r2
+        # verdict #1); the full-document scan stays as a secondary row
+        "boilerplate_edges": q_boilerplate_edges,
         "boilerplate_grams": q_boilerplate,
         "dynamic_json_udf": q_dynamic_udf,
     }

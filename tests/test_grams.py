@@ -1,0 +1,101 @@
+"""Arrow gram cutter vs the pure-Catalyst HOF reference: exact
+equivalence, including whitespace edge cases where Python and Java
+tokenizers classically diverge (VERDICT r2 #1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xjs.pipeline.grams import ngram_rows
+from xjs.pipeline.text import token_ngrams
+
+EDGE_TEXTS = [
+    (1, "a b c d e f g"),            # plain
+    (2, "a  b   c d e"),             # multi-space runs
+    (3, "\ta b c d e"),              # leading tab -> leading empty token
+    (4, "a b c d e \t"),             # trailing whitespace -> trailing empty
+    (5, ""),                         # empty
+    (6, "   "),                      # all spaces
+    (7, "a b c"),                    # fewer than n tokens
+    (8, "a b c d e"),                # exactly n tokens -> 1 gram
+    (9, "x y a b c d e"),       # NBSP is NOT whitespace in Java \s
+    (10, None),                      # NULL text
+    (11, "w w w w w w w w"),         # repeated token (distinct grams)
+    (12, "a\nb\rc\x0bd\fe f"),       # every Java \s class member
+]
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGE_TEXTS, "doc_id bigint, text string")
+
+
+def _hof_rows(df, n):
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_ngrams(F.col("text"), n))).alias("gram"),
+    )
+
+
+@pytest.mark.parametrize("n", [2, 5])
+def test_arrow_equals_hof_on_edge_cases(edge_df, n):
+    got = ngram_rows(edge_df, ["doc_id"], "text", n)
+    want = _hof_rows(edge_df, n)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_arrow_equals_hof_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = ngram_rows(docs, ["doc_id"], "text", 5)
+    want = _hof_rows(docs, 5)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_arrow_edge_windows_equal_catalyst_edge_grams(spark, sf_dir):
+    """Edge-window mode (head/tail slices of long docs) must equal the
+    Catalyst edge_grams form — exercised on the page-length corpus
+    where the long-doc branch actually fires."""
+    from xjs.pipeline.boilerplate import edge_grams, edge_regime_corpus
+
+    docs = edge_regime_corpus(spark, sf_dir)
+    got = ngram_rows(docs, ["doc_id"], "text", 5, edge_tokens=32)
+    want = docs.select(
+        "doc_id", F.explode(edge_grams(F.col("text"), 5, 32)).alias("gram")
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_arrow_edge_windows_whitespace_long_docs(spark):
+    """Long-doc edge mode uses bounded splits (head maxsplit + reversed
+    tail maxsplit) — pin parity with Catalyst edge_grams on long docs
+    carrying tabs, whitespace runs, and trailing separators."""
+    from xjs.pipeline.boilerplate import edge_grams
+
+    mid = " ".join(f"m{i}" for i in range(100))
+    rows = [
+        (1, "h0 h1\th2  h3 " + mid + " t0\tt1 t2"),   # tabs both ends
+        (2, "a b c " + mid + " x y z \t"),             # trailing tab -> '' token
+        (3, "\t lead " + mid + " tail"),               # leading tab -> '' token
+        (4, " ".join(f"w{i}" for i in range(65))),     # just past 2*edge
+        (5, " ".join(f"w{i}" for i in range(64))),     # exactly 2*edge: full path
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = ngram_rows(df, ["doc_id"], "text", 5, edge_tokens=32)
+    want = df.select(
+        "doc_id", F.explode(edge_grams(F.col("text"), 5, 32)).alias("gram")
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_boilerplate_builders_agree(spark, sf_dir):
+    """The full boilerplate aggregate is builder-independent."""
+    from xjs.pipeline import boilerplate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    arrow = boilerplate.boilerplate_grams(d, "source", builder="arrow")
+    hof = boilerplate.boilerplate_grams(d, "source", builder="hof")
+    assert arrow.exceptAll(hof).count() == 0
+    assert hof.exceptAll(arrow).count() == 0

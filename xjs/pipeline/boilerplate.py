@@ -30,6 +30,27 @@ NGRAM = 5
 THRESH_NUM, THRESH_DEN = 1, 4   # boilerplate = gram in >= 25% of the group's docs
 
 
+def _per_doc_grams(
+    df: DataFrame, group_col: str, text_col: str, n: int,
+    edge_tokens: int | None, builder: str,
+) -> DataFrame:
+    """(group, gram) rows, one per distinct gram per doc.  builder
+    'arrow' = the Arrow mapInPandas cutter (production: 4x the
+    interpreted-HOF form, VERDICT r2 #1); 'hof' = pure Catalyst
+    (kept as the zero-Python reference implementation the equivalence
+    test pins the builder against)."""
+    if builder == "arrow":
+        from xjs.pipeline.grams import ngram_rows
+
+        return ngram_rows(df, [group_col], text_col, n, edge_tokens)
+    grams = (
+        edge_grams(F.col(text_col), n, edge_tokens)
+        if edge_tokens is not None
+        else F.array_distinct(token_ngrams(F.col(text_col), n))
+    )
+    return df.select(F.col(group_col), F.explode(grams).alias("gram"))
+
+
 def boilerplate_grams(
     df: DataFrame,
     group_col: str,
@@ -37,13 +58,11 @@ def boilerplate_grams(
     n: int = NGRAM,
     thresh_num: int = THRESH_NUM,
     thresh_den: int = THRESH_DEN,
+    builder: str = "arrow",
 ) -> DataFrame:
     """(group, gram, n_docs_with, n_docs) for every gram at or above
     the document-frequency threshold within its group."""
-    per_doc = df.select(
-        F.col(group_col),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
-    )
+    per_doc = _per_doc_grams(df, group_col, text_col, n, None, builder)
     gram_df = per_doc.groupBy(group_col, "gram").agg(
         F.count(F.lit(1)).alias("n_docs_with")
     )
@@ -90,14 +109,12 @@ def boilerplate_grams_edges(
     edge_tokens: int = 32,
     thresh_num: int = THRESH_NUM,
     thresh_den: int = THRESH_DEN,
+    builder: str = "arrow",
 ) -> DataFrame:
     """``boilerplate_grams`` over edge windows only (same output
     schema; equal results whenever the boilerplate sits within
     ``edge_tokens`` of a document end, which is its definition)."""
-    per_doc = df.select(
-        F.col(group_col),
-        F.explode(edge_grams(F.col(text_col), n, edge_tokens)).alias("gram"),
-    )
+    per_doc = _per_doc_grams(df, group_col, text_col, n, edge_tokens, builder)
     gram_df = per_doc.groupBy(group_col, "gram").agg(
         F.count(F.lit(1)).alias("n_docs_with")
     )
@@ -139,8 +156,9 @@ def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDGE_REPEAT = 12  # body = doc text repeated 12x (~600 tokens)
 
 
-def edge_regime_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def edge_regime_transform(d: DataFrame) -> DataFrame:
+    """(doc_id, source, text) with page-length bodies and injected
+    header/footer boilerplate; input needs (doc_id, source, text)."""
     body = F.trim(F.repeat(F.concat(F.col("text"), F.lit(" ")), EDGE_REPEAT))
     injected = F.when(
         F.col("doc_id") % 3 == 0,
@@ -151,6 +169,10 @@ def edge_regime_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(body)
     return d.select("doc_id", "source", injected.alias("text"))
+
+
+def edge_regime_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edge_regime_transform(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 _EDGE_INJECT_SQL = (

@@ -32,8 +32,14 @@ BENCH_RESIDUE = 41  # doc_id % RESIDUE == 0 -> benchmark doc
 
 
 def doc_grams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              n: int = NGRAM) -> DataFrame:
-    """(id, gram) — one row per *distinct* gram per doc."""
+              n: int = NGRAM, builder: str = "arrow") -> DataFrame:
+    """(id, gram) — one row per *distinct* gram per doc.  builder
+    'arrow' = the Arrow gram cutter (xjs.pipeline.grams, 4x the
+    interpreted HOF); 'hof' = pure Catalyst reference form."""
+    if builder == "arrow":
+        from xjs.pipeline.grams import ngram_rows
+
+        return ngram_rows(df, [id_col], text_col, n)
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),

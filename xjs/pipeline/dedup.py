@@ -565,16 +565,13 @@ def substring_duplicates(
     from xjs.pipeline.decontam import doc_grams
 
     if hash_mode == "native":
-        grams = df.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        token_ngrams(F.col(text_col), w),
-                        lambda g: F.xxhash64(g),
-                    )
-                )
-            ).alias("gram"),
+        # Arrow cutter emits distinct string-gram rows; the 8-byte
+        # shuffle key is still xxhash64 applied Spark-side per row
+        # (codegen), so the wire shape is unchanged vs round 2
+        from xjs.pipeline.grams import ngram_rows
+
+        grams = ngram_rows(df, [id_col], text_col, w).select(
+            F.col(id_col), F.xxhash64("gram").alias("gram")
         )
     else:
         grams = doc_grams(df, text_col, id_col, w)

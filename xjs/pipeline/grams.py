@@ -1,0 +1,109 @@
+"""Production token n-gram cutter.
+
+Round-2 profiling showed interpreted higher-order-function gram
+construction (``transform(sequence(...), array_join(slice(...)))``)
+dominating the bench suite — ~22s of boilerplate_grams' 25s at
+sf0.1/f200, and the cost floor under decontamination and substring
+dedup (SCALE.md 8c; VERDICT r2 #1).  Catalyst evaluates HOF lambdas
+interpreted per element, so a 50-token doc pays ~46 interpreted
+slice+join trees per row.  This module replaces construction with an
+Arrow-batched ``mapInPandas`` builder that emits the exploded
+(keys..., gram) rows directly — one Python loop per doc, no
+interpreted expression tree, no intermediate array column, and the
+per-doc DISTINCT folded into the same pass.  Measured on the bench
+corpus (100k docs, local[32]): 8.9s HOF vs 4.5s Scala ml.NGram vs
+2.2s this builder, identical output rows.
+
+Tokenizer parity: the Python splitter mirrors Spark's
+``split(trim(text), '\\s+')`` exactly — strip ASCII spaces only (Spark
+``trim`` strips 0x20 only), split on the Java-default ``\\s`` class
+``[ \\t\\n\\x0b\\f\\r]+`` (Java regex ``\\s`` is ASCII-only; Python's
+unicode-aware ``str.split()`` would diverge on NBSP and friends), keep
+leading/trailing empty fields like ``F.split``'s limit=-1.  The
+equivalence is pinned against the HOF form on edge-case strings in
+tests/test_grams.py, and every oracle-checked query using this
+builder proves it against DuckDB's ``regexp_split_to_array`` again.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _grams_of(toks: list[str], n: int) -> set[str]:
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _gram_set(txt: str | None, n: int, edge_tokens: int | None) -> set[str]:
+    """Distinct space-joined token n-grams of one document; with
+    ``edge_tokens`` set, only the head/tail windows of long docs (the
+    semantics of boilerplate.edge_grams).
+
+    Edge mode never tokenizes the middle of a long document: the head
+    comes from a ``maxsplit``-bounded split and the tail from the same
+    bounded split over the REVERSED string (regex whitespace runs are
+    palindromic under the ``[ \\t\\n\\x0b\\f\\r]`` class, so splitting
+    the reversal from the left == splitting the original from the
+    right).  On 600-token pages this cut the edge path 4x vs splitting
+    the whole text — per-doc cost scales with the edge window, not the
+    page length."""
+    if not txt:
+        return set()
+    s = txt.strip(" ")
+    if edge_tokens is None:
+        toks = _WS.split(s)
+        if len(toks) < n:
+            return set()
+        return _grams_of(toks, n)
+    e = edge_tokens
+    head_parts = _WS.split(s, maxsplit=2 * e)
+    if len(head_parts) <= 2 * e:  # short doc: exact full gram set
+        if len(head_parts) < n:
+            return set()
+        return _grams_of(head_parts, n)
+    head = head_parts[:e]
+    rev = _WS.split(s[::-1], maxsplit=e)
+    tail = [t[::-1] for t in rev[:e]][::-1]
+    return _grams_of(head, n) | _grams_of(tail, n)
+
+
+def ngram_rows(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str,
+    n: int,
+    edge_tokens: int | None = None,
+) -> DataFrame:
+    """(keys..., gram) — one row per distinct gram per input row,
+    equivalent to ``explode(array_distinct(token_ngrams(text, n)))``
+    but built Arrow-batch-wise in Python (see module docstring for why
+    that wins).  A narrow map stage: no shuffle, each task streams its
+    batches through, output bounded by that task's gram count."""
+    import pandas as pd  # noqa: F401
+
+    dtypes = dict(df.dtypes)
+    schema = ", ".join([f"{k} {dtypes[k]}" for k in keys] + ["gram string"])
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in keys}
+            out_g: list[str] = []
+            key_cols = [pdf[k] for k in keys]
+            for row in zip(pdf[text_col], *key_cols):
+                grams = _gram_set(row[0], n, edge_tokens)
+                if not grams:
+                    continue
+                out_g.extend(grams)
+                for k, v in zip(keys, row[1:]):
+                    out[k].extend([v] * len(grams))
+            out["gram"] = out_g
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, text_col).mapInPandas(build, schema)
