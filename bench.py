@@ -338,6 +338,22 @@ def _deltas_vs_previous_round(timings: dict, total: float) -> dict:
                 if "queries" in cand:
                     prev = cand
                     break
+    if "queries" not in prev and isinstance(prev.get("tail"), str):
+        # last resort: the r02 driver tail held a FRONT-truncated line;
+        # the flat {"queries": {...}} object and "value" are still
+        # recoverable by regex
+        m = re.search(r'"queries": (\{[^{}]*\})', prev["tail"])
+        v = re.search(r'"value": ([0-9.]+)', prev["tail"]) or re.search(
+            r'([0-9.]+), "unit"', prev["tail"]
+        )
+        if m:
+            try:
+                prev = {
+                    "queries": json.loads(m.group(1)),
+                    **({"value": float(v.group(1))} if v else {}),
+                }
+            except ValueError:
+                pass
     prev_q = prev.get("queries", {})
     if not prev_q:
         return {}

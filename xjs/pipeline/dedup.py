@@ -30,7 +30,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xjs.pipeline.hashing import MOD, char_hash, char_hash_sql, hash_params
-from xjs.pipeline.text import token_ngrams
 
 SHINGLE = 3          # tokens per shingle
 K = 12               # minhash functions
