@@ -111,9 +111,15 @@ def build_queries(spark, sf_dir: str, factor: int):
     def q_decontam():
         # production composition: exact-collapse first (same first stage
         # as the minhash pipeline — decontamination always runs over the
-        # deduplicated corpus), then benchmark-gram broadcast semi-join
+        # deduplicated corpus), then benchmark-gram broadcast semi-join.
+        # The repartition after the collapse is the same load-bearing
+        # pin as near_duplicate_pipeline's: AQE coalesces the tiny
+        # survivor set by bytes, serializing the compute-heavy gram
+        # stage on one core otherwise
         docs = wp().select("doc_id", "text")
-        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         corpus = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE != 0)
         bench = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE == 0)
         return decontam.contaminated_docs(corpus, bench)
@@ -121,9 +127,11 @@ def build_queries(spark, sf_dir: str, factor: int):
     def q_substring():
         # collapse-first composition + native hashed gram keys (the
         # 100 TB shape; the portable string-gram path exists for the
-        # SQL oracle)
+        # SQL oracle); repartition pin as in q_decontam
         docs = wp().select("doc_id", "text")
-        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         return dedup.substring_duplicates(d, hash_mode="native")
 
     def q_stratified():
@@ -157,6 +165,11 @@ def build_queries(spark, sf_dir: str, factor: int):
 
         w = wp().withColumn("lang2", F.coalesce(F.col("lang"), F.lit("xx")))
         return packing.pack_sequences(w, "lang2", "doc_id")
+
+    def q_pack_global():
+        from xjs.pipeline import packing
+
+        return packing.pack_sequences_global(wp(), "doc_id")
 
     def q_boilerplate():
         from xjs.pipeline import boilerplate
@@ -210,6 +223,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "heavy_hitters_domains": q_heavy,
         "asof_join_clicks": q_asof,
         "pack_sequences": q_pack,
+        "pack_global": q_pack_global,
         # headline boilerplate row: the edge-window production form on
         # a page-length corpus (the shape a 100 TB run uses — r2
         # verdict #1); the full-document scan stays as a secondary row
