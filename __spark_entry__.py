@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 3 ---
         "pack_sequences_global": packing.q_pack_sequences_global,
         "boilerplate_grams_edges": boilerplate.q_boilerplate_grams_edges,
+        "boilerplate_remove": boilerplate.q_boilerplate_remove,
         "text_langid_model": text.q_text_langid_model,
         # --- no driver row in CORRECTNESS_r02 (judge-verified only) ---
         "static_composition": dynamic_spark.q_static_composition,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         # --- new in round 3 ---
         "pack_sequences_global": packing.oracle_pack_sequences_global_sql(),
         "boilerplate_grams_edges": boilerplate.oracle_boilerplate_grams_edges_sql(),
+        "boilerplate_remove": boilerplate.oracle_boilerplate_remove_sql(),
         "text_langid_model": text.oracle_text_langid_sql(),
         # --- no driver row in CORRECTNESS_r02 (judge-verified only) ---
         "static_composition": dynamic_spark.ORACLE_STATIC_COMPOSITION_SQL,

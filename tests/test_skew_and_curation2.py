@@ -43,6 +43,32 @@ def test_weighted_sample_rate_tracks_weight(spark):
     assert weighted_sample(df, "doc_id", F.lit(1.0)).count() == 20_000
 
 
+def test_boilerplate_remove_semantics(spark):
+    """Flagged grams are stripped literally in ascending gram order;
+    docs in groups with no flagged grams pass through unchanged; the
+    gram side must broadcast."""
+    from pyspark.sql import functions as F2
+
+    from xjs.pipeline.boilerplate import boilerplate_remove
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "alpha foo bar beta"),
+            (2, "s1", "foo bar"),
+            (3, "s2", "foo bar untouched"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    flagged = spark.createDataFrame(
+        [("s1", "foo bar")], "source string, gram string"
+    )
+    out = boilerplate_remove(docs, flagged, "source")
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got == {1: "alpha  beta", 2: "", 3: "foo bar untouched"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_boilerplate_grams_handcrafted(spark):
     footer = "subscribe to our newsletter today"
     rows = (

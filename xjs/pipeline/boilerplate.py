@@ -192,6 +192,70 @@ def q_boilerplate_grams_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_grams_edges(edge_regime_corpus(spark, sf_dir), "source")
 
 
+def boilerplate_remove(
+    df: DataFrame,
+    flagged: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, group, clean_text): every occurrence of every flagged gram
+    removed from the document text — the cleaning step downstream of
+    detection (CCNet-style "strip what the whole domain repeats").
+
+    Removal semantics are deliberately simple and deterministic:
+    literal string removal of each flagged gram, applied in ascending
+    gram order (so the Spark and SQL answers agree byte-for-byte;
+    leftover double spaces are the defined behavior, downstream
+    tokenization collapses them).  Scale shape: ``flagged`` is tiny by
+    construction (grams above a per-group document-frequency
+    threshold), so it aggregates to one array per group and
+    BROADCASTS; the removal itself is a narrow map over the corpus —
+    no shuffle of document text.  The per-group fold runs over a
+    handful of grams, not the corpus."""
+    grams = flagged.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("gram")).alias("_grams")
+    )
+    cleaned = F.aggregate(
+        F.coalesce(F.col("_grams"), F.array().cast("array<string>")),
+        F.col(text_col),
+        lambda acc, g: F.replace(acc, g, F.lit("")),
+    )
+    return (
+        df.join(F.broadcast(grams), group_col, "left")
+        .select(F.col(id_col), F.col(group_col), cleaned.alias("clean_text"))
+    )
+
+
+def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection + removal composed over the page-length corpus: strip
+    each source's edge-window boilerplate from every document."""
+    corpus = edge_regime_corpus(spark, sf_dir)
+    flagged = boilerplate_grams_edges(corpus, "source").select("source", "gram")
+    return boilerplate_remove(corpus, flagged, "source")
+
+
+def oracle_boilerplate_remove_sql() -> str:
+    edges = oracle_boilerplate_grams_edges_sql().strip()
+    return f"""
+WITH flagged AS ({edges}),
+gram_lists AS (
+    SELECT source, list(gram ORDER BY gram) AS grams
+    FROM flagged GROUP BY source
+),
+corpus AS (
+    SELECT doc_id, source, {_EDGE_INJECT_SQL} AS text
+    FROM (SELECT doc_id, source, trim(repeat(text || ' ', {EDGE_REPEAT})) AS body
+          FROM documents)
+)
+SELECT c.doc_id, c.source,
+       list_reduce(
+           list_prepend(c.text, COALESCE(g.grams, [])),
+           (acc, gr) -> replace(acc, gr, '')) AS clean_text
+FROM corpus c LEFT JOIN gram_lists g USING (source)
+"""
+
+
 def oracle_boilerplate_grams_edges_sql() -> str:
     w, e = NGRAM, 32
     full = (
