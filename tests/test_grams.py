@@ -90,6 +90,34 @@ def test_arrow_edge_windows_whitespace_long_docs(spark):
     assert got.exceptAll(want).count() == 0
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # tokens + every Java \s member + NBSP (which is NOT Java \s) mixed
+    _CHUNK = st.one_of(
+        st.text(alphabet="abcXYZ09.,!", min_size=1, max_size=6),
+        st.sampled_from([" ", "\t", "\n", "\x0b", "\f", "\r", "\xa0", "  ", " \t "]),
+    )
+    _TEXT = st.lists(_CHUNK, min_size=0, max_size=40).map("".join)
+
+    @settings(max_examples=15, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(_TEXT, min_size=1, max_size=8), st.integers(2, 4))
+    def test_gram_cutter_matches_hof_property(spark, texts, n):
+        """Random whitespace-adversarial strings: the Arrow cutter and
+        the Catalyst HOF form must agree exactly (tokenizer parity is
+        the whole contract)."""
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = ngram_rows(df, ["doc_id"], "text", n)
+        want = _hof_rows(df, n)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_boilerplate_builders_agree(spark, sf_dir):
     """The full boilerplate aggregate is builder-independent."""
     from xjs.pipeline import boilerplate
