@@ -38,6 +38,25 @@ def test_adapter_default_matches_catalyst_langid(spark, sf_dir):
     assert want.exceptAll(got).count() == 0
 
 
+def test_adapter_default_nbsp_parity(spark):
+    """The default model must tokenize with the Java ASCII \\s class,
+    not python's unicode-aware split — 'the\\xa0cat' is ONE token in
+    both engines (NBSP is not Java whitespace), so it must not count
+    as the stopword 'the'."""
+    rows = [
+        (1, "the\xa0and\xa0of\xa0to"),      # zero real stopword tokens -> und
+        (2, "the and der die und das"),      # de beats en 4:2
+        (3, "\tthe is \x0b of"),             # ASCII ws members split fine
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = langid_with_model(df)
+    want = df.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+    assert {(r["doc_id"], r["lang_pred"]) for r in got.collect()} == {
+        (r["doc_id"], r["lang_pred"]) for r in want.collect()
+    }
+    assert {r["lang_pred"] for r in got.collect() if r["doc_id"] == 1} == {"und"}
+
+
 def test_adapter_generic_out_type(spark):
     """Non-string outputs (a tokenizer's count) flow through the
     declared out_type."""

@@ -231,15 +231,19 @@ def text_model_adapter(
 
 def default_langid_model(texts):
     """Default ``model_fn`` for language-ID: the same stopword-profile
-    heuristic as ``langid()``, vectorized over a pandas Series (python
-    ``str.split()`` == the ``\\s+`` regex split on ASCII corpora; swap
-    in fastText by replacing this function only)."""
+    heuristic as ``langid()``, vectorized over a pandas Series.
+    Tokenizes with the exact Java-``\\s`` ASCII class (via
+    ``xjs.pipeline.grams._WS``) — python ``str.split()`` is
+    unicode-aware and would diverge from the Catalyst form on NBSP and
+    friends.  Swap in fastText by replacing this function only."""
+    from xjs.pipeline.grams import _WS
+
     profiles = [(lang, set(ws)) for lang, ws in LANG_PROFILES]
 
     def one(t):
         if t is None:
             return "und"
-        toks = set(t.lower().split())
+        toks = set(_WS.split(t.lower().strip(" ")))
         best_lang, best = "und", 0
         for lang, ws in profiles:
             s = len(toks & ws)
