@@ -395,6 +395,42 @@ def test_streaming_heavy_hitters_string_column(spark, sf_dir, tmp):
     assert seen == want
 
 
+def test_streaming_heavy_hitters_null_keys(spark, sf_dir, tmp):
+    """NULL keys must flow through the streaming MG sketch (counted
+    under a None entry, stored as a null element in the state array)
+    — the batch twin's ADVICE-r2 fix, streaming side."""
+    from xjs.streaming import stream_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("event_id") % 2 == 0, F.col("user_id")).alias("uid")
+    )
+    ev.write.parquet(f"{tmp}/in/b1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/in")
+    )
+    seen = {}
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():
+            seen[r["item"]] = r["est"]
+
+    q = (
+        stream_heavy_hitters(stream, "uid", capacity=10_000)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_null = ev.filter(F.col("uid").isNull()).count()
+    assert n_null > 0
+    assert seen.get(None) == n_null  # NULL surfaced with its exact count
+
+
 def test_streaming_pii_redaction_equals_batch(spark, sf_dir, tmp):
     """PII scan/redaction is stateless Column algebra, so the same
     expressions run unchanged on a stream; sink == batch output."""
