@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_grams_edges": boilerplate.q_boilerplate_grams_edges,
         "boilerplate_remove": boilerplate.q_boilerplate_remove,
         "text_langid_model": text.q_text_langid_model,
+        "drift_ks": drift.webpages_drift_ks,
         # --- no driver row in CORRECTNESS_r02 (judge-verified only) ---
         "static_composition": dynamic_spark.q_static_composition,
         "static_struct_object": dynamic_spark.q_static_struct_object,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_grams_edges": boilerplate.oracle_boilerplate_grams_edges_sql(),
         "boilerplate_remove": boilerplate.oracle_boilerplate_remove_sql(),
         "text_langid_model": text.oracle_text_langid_sql(),
+        "drift_ks": drift.oracle_drift_ks_sql(DUCKDB_CTE),
         # --- no driver row in CORRECTNESS_r02 (judge-verified only) ---
         "static_composition": dynamic_spark.ORACLE_STATIC_COMPOSITION_SQL,
         "static_struct_object": dynamic_spark.ORACLE_STATIC_STRUCT_OBJECT_SQL,

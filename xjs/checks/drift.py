@@ -137,6 +137,14 @@ def webpages_drift_psi(spark, sf_dir: str) -> DataFrame:
     return psi(h, base, "partition_id", N_BUCKETS)
 
 
+def webpages_drift_ks(spark, sf_dir: str) -> DataFrame:
+    """KS statistic of each partition's text-length distribution vs the
+    global distribution (bucketed-CDF resolution)."""
+    h = webpages_drift_histogram(spark, sf_dir)
+    base = h.groupBy("bucket").agg(F.sum("n").alias("n"))
+    return ks(h, base, "partition_id", N_BUCKETS)
+
+
 def oracle_drift_histogram_sql(cte: str) -> str:
     step = (TEXT_LEN_HI - TEXT_LEN_LO) / N_BUCKETS
     return f"""
@@ -181,4 +189,41 @@ probs AS (
 )
 SELECT partition_id, ROUND(SUM((pp - qq) * LN(pp / qq)), 4) AS psi
 FROM probs GROUP BY partition_id
+"""
+
+
+def oracle_drift_ks_sql(cte: str) -> str:
+    step = (TEXT_LEN_HI - TEXT_LEN_LO) / N_BUCKETS
+    nb = N_BUCKETS
+    return f"""
+WITH {cte},
+hist AS (
+    SELECT partition_id,
+           CAST(LEAST(GREATEST(FLOOR((length(text) - {TEXT_LEN_LO}) / {step}), 0), {nb - 1}) AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM webpages GROUP BY 1, 2
+),
+base AS (SELECT bucket, SUM(n) AS n FROM hist GROUP BY 1),
+spine AS (
+    SELECT p.partition_id, b.bucket
+    FROM (SELECT DISTINCT partition_id FROM hist) p
+    CROSS JOIN (SELECT UNNEST(RANGE({nb})) AS bucket) b
+),
+j AS (
+    SELECT s.partition_id, s.bucket,
+           COALESCE(h.n, 0) AS n_p, COALESCE(base.n, 0) AS n_q
+    FROM spine s
+    LEFT JOIN hist h ON h.partition_id = s.partition_id AND h.bucket = s.bucket
+    LEFT JOIN base ON base.bucket = s.bucket
+),
+cdfs AS (
+    SELECT partition_id,
+           SUM(n_p) OVER (PARTITION BY partition_id ORDER BY bucket)
+             / SUM(n_p) OVER (PARTITION BY partition_id) AS cdf_p,
+           SUM(n_q) OVER (PARTITION BY partition_id ORDER BY bucket)
+             / SUM(n_q) OVER (PARTITION BY partition_id) AS cdf_q
+    FROM j
+)
+SELECT partition_id, ROUND(MAX(ABS(cdf_p - cdf_q)), 4) AS ks
+FROM cdfs GROUP BY partition_id
 """
