@@ -341,6 +341,21 @@ violations scan over `webpages_scaled(sf0.1, factor={factor})` =
 {lo['n_docs']:,} docs; {lo['n_violations']:,} violations found
 (deterministic at every config — byte-identical results).
 
+### The literal spark-submit --py-files form (north_rule letter)
+
+The shapes above drive the same multi-JVM executors through the
+library API.  The rule's literal form — `spark-submit --py-files
+dist/xjs.zip jobs/validate_webpages.py` (checkpoint manifest, dynamic
+partition overwrite, 16 partitions) — was also measured at both
+cluster sizes (2026-08-17, factor 1000 = 5M docs):
+local-cluster[1,4] 44.2s → local-cluster[4,4] 26.8s end-to-end.  The
+job carries ~20s of size-invariant latency (measured flat at factor
+200 on both sizes: session-independent codegen of the 100+-check
+plan × 3 actions, FS commit of the partitioned sinks, manifest
+append) — the data-dependent remainder scales 24.3s → ~6.9s ≈ 0.88,
+matching shape B.  At 10^12 rows the fixed seconds vanish into hours
+of scan; they dominate only at sandbox inputs.
+
 ### Why 4→16 cores, not 8→32
 
 The sandbox VM advertises 32 vCPUs but saturates at ~16-20 effective
