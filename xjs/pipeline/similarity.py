@@ -261,13 +261,31 @@ def embedding_near_duplicates(
     small."""
     b = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
     if max_bucket is not None:
-        from pyspark.sql.window import Window
+        # grouped cap (r4, same shape as minhash_candidate_pairs): the
+        # bucket projection shuffles narrow (bucket, vec_id) rows once
+        # with map-side partials; pair explosion is local and capped;
+        # verification joins the embeddings back by id — the full
+        # vectors are never shuffled on the bucket key at all (the
+        # self-join form shipped them through the bucket exchange).
+        from xjs.pipeline.dedup import bucket_pairs
 
-        w = Window.partitionBy("bucket")
-        b = (
-            b.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
+        grouped = (
+            b.select("bucket", F.col("vec_id").alias("doc_id"))
+            .groupBy("bucket")
+            .agg(F.collect_list("doc_id").alias("docs"))
+            .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        )
+        pairs = bucket_pairs(grouped, "doc_id")
+        ea = emb.select(F.col("vec_id").alias("doc_id_a"), F.col("emb").alias("emb_a"))
+        eb = emb.select(F.col("vec_id").alias("doc_id_b"), F.col("emb").alias("emb_b"))
+        return (
+            pairs.join(ea, "doc_id_a").join(eb, "doc_id_b")
+            .select(
+                F.col("doc_id_a").alias("vec_a"),
+                F.col("doc_id_b").alias("vec_b"),
+                F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
         )
     left, right = b.alias("a"), b.alias("b")
     cands = left.join(
