@@ -54,18 +54,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NB: dict order is driver-visible — CORRECTNESS_r02 recorded only the
-    # first 50 entries, so queries without a green driver row yet (the 17
-    # the round-2 judge had to verify by hand) and queries new this round
-    # come FIRST; the 50 with an existing green row follow.
+    # NB: dict order is driver-visible — the CORRECTNESS_r{N} file records
+    # only the FIRST 50 entries, so rotation rule (r3 verdict #2): queries
+    # new this round come first, then the 22 whose newest driver row dates
+    # from round 2's code (the r02-green tail the r03 capture missed);
+    # the 50 green in CORRECTNESS_r03 go last.
     return {
-        # --- new in round 3 ---
+        # --- new in round 4 ---
+        "substring_spans": dedup.q_substring_spans,
+        "substring_remove": dedup.q_substring_remove,
+        "decontaminate_tau": decontam.q_decontaminate_tau,
+        # --- driver row stale (r02-era code; judge re-verified in r3) ---
+        "boilerplate_grams": boilerplate.q_boilerplate_grams,
+        "decontaminate": decontam.q_decontaminate,
+        "text_quality": text.q_text_quality,
+        "text_langid": text.q_text_langid,
+        "text_fingerprint": text.q_text_fingerprint,
+        "text_repetition": text.q_text_repetition,
+        "text_tokens": text.q_text_tokens,
+        "text_pii": pii.q_text_pii,
+        "sample_weighted": sampling.q_sample_weighted,
+        "sample_bernoulli": sampling.q_sample_bernoulli,
+        "sample_stratified": sampling.q_sample_stratified,
+        "similarity_pq_codes": similarity.pq_codes,
+        "similarity_pq_topk": similarity.pq_topk,
+        "static_map_props": dynamic_spark.q_static_props_map,
+        "dynamic_json_props": dynamic_spark.q_dynamic_props,
+        "heavy_hitters": heavy.q_heavy_hitters,
+        "domain_reputation": domains.q_domain_reputation,
+        "embedding_quality": similarity.q_embedding_quality,
+        "multimodal_meta": multimodal.q_multimodal_meta,
+        "pack_sequences": packing.q_pack_sequences,
+        "salted_join_orders": skew.q_salted_join_orders,
+        "url_canonical_dedup": urls.q_url_canonical_dedup,
+        # --- r4-touched modules: refresh their rows this round too ---
+        "dedup_minhash_lsh": dedup.q_dedup_minhash,
+        "dedup_embedding": similarity.q_dedup_embedding,
+        "dedup_substring": dedup.q_dedup_substring,
+        # --- green driver row in CORRECTNESS_r03 ---
         "pack_sequences_global": packing.q_pack_sequences_global,
         "boilerplate_grams_edges": boilerplate.q_boilerplate_grams_edges,
         "boilerplate_remove": boilerplate.q_boilerplate_remove,
         "text_langid_model": text.q_text_langid_model,
         "drift_ks": drift.webpages_drift_ks,
-        # --- no driver row in CORRECTNESS_r02 (judge-verified only) ---
         "static_composition": dynamic_spark.q_static_composition,
         "static_struct_object": dynamic_spark.q_static_struct_object,
         "static_enum_complex": dynamic_spark.q_static_enum_complex,
@@ -83,7 +114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessions.q_sessionize_events,
         "session_window_stats": sessions.q_session_window_stats,
         "asof_join_clicks": asof.q_asof_clicks,
-        # --- green driver row in CORRECTNESS_r02 ---
         # schema validation (static Catalyst plan)
         "webpages_violations": flagship_violations,
         "webpages_verdicts": flagship_verdicts,
@@ -105,45 +135,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_text_lengths": outliers.q_outlier_text_lengths,
         # training-data pipeline ops
         "dedup_exact": dedup.q_dedup_exact,
-        "dedup_minhash_lsh": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_simhash_pairs": dedup.q_dedup_simhash_pairs,
-        "dedup_substring": dedup.q_dedup_substring,
         "similarity_topk_bruteforce": similarity.brute_force_topk,
         "similarity_lsh_buckets": similarity.lsh_buckets,
         "similarity_lsh_topk": similarity.lsh_topk,
         "similarity_ivf_assign": similarity.ivf_assignments,
         "similarity_ivf_topk": similarity.ivf_topk,
-        "dedup_embedding": similarity.q_dedup_embedding,
-        "similarity_pq_codes": similarity.pq_codes,
-        "similarity_pq_topk": similarity.pq_topk,
-        "embedding_quality": similarity.q_embedding_quality,
-        "text_quality": text.q_text_quality,
-        "text_langid": text.q_text_langid,
-        "text_fingerprint": text.q_text_fingerprint,
-        "text_repetition": text.q_text_repetition,
-        "text_tokens": text.q_text_tokens,
-        "text_pii": pii.q_text_pii,
-        "pack_sequences": packing.q_pack_sequences,
-        "boilerplate_grams": boilerplate.q_boilerplate_grams,
-        "sample_weighted": sampling.q_sample_weighted,
-        "salted_join_orders": skew.q_salted_join_orders,
-        "multimodal_meta": multimodal.q_multimodal_meta,
-        "sample_bernoulli": sampling.q_sample_bernoulli,
-        "sample_stratified": sampling.q_sample_stratified,
-        "decontaminate": decontam.q_decontaminate,
-        "url_canonical_dedup": urls.q_url_canonical_dedup,
-        "domain_reputation": domains.q_domain_reputation,
-        "heavy_hitters": heavy.q_heavy_hitters,
-        # dynamic mode (Arrow pandas-UDF over JSON strings) + MapType static
-        "dynamic_json_props": dynamic_spark.q_dynamic_props,
-        "static_map_props": dynamic_spark.q_static_props_map,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         # --- new in round 3 ---
+        "substring_spans": dedup.oracle_substring_spans_sql(),
+        "substring_remove": dedup.oracle_substring_remove_sql(),
+        "decontaminate_tau": decontam.oracle_decontaminate_tau_sql(),
         "pack_sequences_global": packing.oracle_pack_sequences_global_sql(),
         "boilerplate_grams_edges": boilerplate.oracle_boilerplate_grams_edges_sql(),
         "boilerplate_remove": boilerplate.oracle_boilerplate_remove_sql(),

@@ -309,3 +309,73 @@ def test_pq_codes_and_adc_recall(spark, sf_dir):
     overlap = sum(len(pq_sets[q] & ex_sets[q]) for q in ex_sets)
     total = sum(len(ex_sets[q]) for q in ex_sets)
     assert overlap / total >= 0.2, f"ADC recall collapsed: {overlap}/{total}"
+
+
+def test_substring_spans_excise_not_drop(spark):
+    """A doc quoting a w-token span of an earlier doc keeps its own
+    prose with only the quoted span cut — the Lee et al. 2022 removal
+    semantics (whole-doc dropping would delete the original tail)."""
+    w = dedup.SUBSTR_W
+    quoted = " ".join(f"q{i}" for i in range(w))          # 16-token span
+    own_head = "alpha beta gamma delta"
+    own_tail = "epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"source text {quoted} and more source prose"),
+            (2, f"{own_head} {quoted} {own_tail}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.substring_spans(df)
+    rows = spans.collect()
+    # only doc 2 is flagged, with exactly the quoted token range
+    assert {r["doc_id"] for r in rows} == {2}
+    (s,) = rows
+    assert s["token_start"] == 4 and s["token_end"] == 4 + w
+    cleaned = {r["doc_id"]: r["clean_text"]
+               for r in dedup.substring_remove(df, spans).collect()}
+    # owner doc keeps its text (normalized rejoin)
+    assert quoted in cleaned[1]
+    # quoting doc survives with the span excised, not dropped whole
+    assert cleaned[2] == f"{own_head} {own_tail}"
+
+
+def test_substring_spans_merge_overlapping_windows(spark):
+    """Consecutive duplicated windows merge into ONE maximal span."""
+    w = dedup.SUBSTR_W
+    span = " ".join(f"s{i}" for i in range(w + 5))        # 21 dup tokens
+    df = spark.createDataFrame(
+        [(1, f"{span} owner suffix"), (2, f"prefix {span} tail words")],
+        "doc_id long, text string",
+    )
+    rows = dedup.substring_spans(df).collect()
+    assert len(rows) == 1                                  # merged, not 6 spans
+    (s,) = rows
+    assert s["doc_id"] == 2
+    assert s["token_end"] - s["token_start"] == w + 5
+
+
+def test_decontaminate_tau_spares_incidental_hit(spark):
+    """One incidental gram collision passes at tau=0.05; a heavily
+    overlapping doc is still flagged; tau->0 recovers any-hit."""
+    from xjs.pipeline import decontam
+
+    n = decontam.NGRAM
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    # 1 shared gram out of ~97 grams -> frac ~0.01 < 0.05
+    incidental = " ".join(f"x{i}" for i in range(50)) + " " \
+        + " ".join(f"b{i}" for i in range(n)) + " " \
+        + " ".join(f"y{i}" for i in range(50))
+    # mostly benchmark text -> frac >> 0.05
+    heavy_overlap = bench_text + " tail0 tail1"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, incidental), (2, heavy_overlap)], "doc_id long, text string"
+    )
+    flagged = {r["doc_id"]: r for r in
+               decontam.contaminated_docs_tau(corpus, bench, tau=0.05).collect()}
+    assert 1 not in flagged
+    assert 2 in flagged and flagged[2]["overlap_frac"] > 0.5
+    anyhit = {r["doc_id"] for r in
+              decontam.contaminated_docs_tau(corpus, bench, tau=0.0).collect()}
+    assert anyhit == {1, 2}

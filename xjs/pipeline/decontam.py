@@ -59,6 +59,43 @@ def contaminated_docs(
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit_grams"))
 
 
+TAU = 0.05  # default overlap-fraction threshold
+
+
+def contaminated_docs_tau(
+    corpus: DataFrame, benchmark: DataFrame, tau: float = TAU,
+    text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM,
+) -> DataFrame:
+    """(id, n_doc_grams, n_hit_grams, overlap_frac) for docs whose
+    *fraction* of distinct grams hitting the benchmark set is >= tau —
+    thresholded decontamination (PaLM/GPT-3 style): a single
+    incidental gram collision doesn't condemn a document; tau -> 0
+    recovers the any-hit mode of contaminated_docs.
+
+    Same broadcast shape as contaminated_docs, upgraded to a LEFT join
+    so one pass yields both the per-doc gram total and the hit count —
+    no second scan of the corpus; the fraction filter is applied on
+    the unrounded ratio (identical IEEE division both engines)."""
+    bench_grams = (
+        doc_grams(benchmark, text_col, id_col, n)
+        .select("gram").distinct().withColumn("_hit", F.lit(1))
+    )
+    g = doc_grams(corpus, text_col, id_col, n)
+    agg = (
+        g.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_doc_grams"),
+            F.count("_hit").alias("n_hit_grams"),
+        )
+    )
+    frac = F.col("n_hit_grams") / F.col("n_doc_grams")
+    return (
+        agg.filter((F.col("n_hit_grams") >= 1) & (frac >= tau))
+        .withColumn("overlap_frac", F.round(frac, 4))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver query + oracle
 # ---------------------------------------------------------------------------
@@ -68,6 +105,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % BENCH_RESIDUE == 0)
     corpus = d.filter(F.col("doc_id") % BENCH_RESIDUE != 0)
     return contaminated_docs(corpus, bench)
+
+
+def q_decontaminate_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % BENCH_RESIDUE == 0)
+    corpus = d.filter(F.col("doc_id") % BENCH_RESIDUE != 0)
+    return contaminated_docs_tau(corpus, bench)
+
+
+def oracle_decontaminate_tau_sql() -> str:
+    w = NGRAM
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           list_aggregate(t[i:i+{w - 1}], 'string_agg', ' ') AS gram
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS r(i)
+),
+bench AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_RESIDUE} = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_doc_grams, COUNT(b.gram) AS n_hit_grams,
+       ROUND(COUNT(b.gram)::DOUBLE / COUNT(*), 4) AS overlap_frac
+FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % {BENCH_RESIDUE} <> 0
+GROUP BY g.doc_id
+HAVING COUNT(b.gram) >= 1
+   AND COUNT(b.gram)::DOUBLE / COUNT(*) >= {TAU}
+"""
 
 
 def oracle_decontaminate_sql() -> str:

@@ -630,6 +630,95 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_duplicates(dedup_corpus(spark, sf_dir))
 
 
+def substring_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    w: int = SUBSTR_W, hash_mode: str = "portable",
+) -> DataFrame:
+    """(id, token_start, token_end): maximal duplicated token spans —
+    the span-grain half of Lee et al. 2022 exact-substring dedup (their
+    pipeline REMOVES the duplicated spans and keeps the rest; whole-doc
+    dropping over-deletes).  A token window [p, p+w) is duplicated when
+    its exact ``w``-token gram also occurs in a lower-id doc;
+    overlapping/adjacent duplicated windows merge into maximal
+    half-open spans, 0-based token indices.
+
+    Scale shape: positioned grams are a narrow Arrow map; the owner
+    table reuses the same linear groupBy+join shape (and skew
+    rationale) as substring_duplicates; span merging is gaps-and-
+    islands over (doc, pos) — one doc-keyed window whose partitions are
+    bounded by document length, never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    from xjs.pipeline.grams import ngram_pos_rows
+
+    pos_grams = ngram_pos_rows(df, [id_col], text_col, w)
+    if hash_mode == "native":
+        pos_grams = pos_grams.select(
+            id_col, "pos", F.xxhash64("gram").alias("gram")
+        )
+    owners = pos_grams.groupBy("gram").agg(F.min(id_col).alias("_owner"))
+    flagged = (
+        pos_grams.join(owners, "gram")
+        .filter(F.col(id_col) > F.col("_owner"))
+        .select(id_col, "pos")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(win)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + w), 1).otherwise(0)
+    with_span = flagged.withColumn("_brk", brk).withColumn(
+        "_sid", F.sum("_brk").over(win)
+    )
+    return with_span.groupBy(id_col, "_sid").agg(
+        F.min("pos").alias("token_start"),
+        (F.max("pos") + w).alias("token_end"),
+    ).select(id_col, "token_start", "token_end")
+
+
+def substring_remove(
+    df: DataFrame, spans: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text): the duplicated token spans cut out, the rest
+    of each document kept — the cleaning step downstream of
+    substring_spans (the earliest-id occurrence keeps its text because
+    spans only flag docs with a lower-id owner).
+
+    ``clean_text`` is the space-rejoin of the kept tokens for EVERY
+    doc (whitespace normalization is the defined output contract, like
+    downstream tokenization would apply anyway), so the Spark and
+    DuckDB answers agree byte-for-byte.  Scale shape: spans aggregate
+    to one small array per flagged doc and join on the unique doc id
+    (skew-free, flagged-docs-sized side); token filtering is a narrow
+    per-row fold whose cost is O(tokens × spans-per-doc) — the corpus
+    text is never shuffled."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("token_start", "token_end")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<token_start:int,token_end:int>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_arr, lambda s: (i >= s.token_start) & (i < s.token_end)
+        ),
+    )
+    return df.join(sp, id_col, "left").select(
+        F.col(id_col), F.concat_ws(" ", kept).alias("clean_text")
+    )
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_spans(dedup_corpus(spark, sf_dir))
+
+
+def q_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    return substring_remove(corpus, substring_spans(corpus))
+
+
 def oracle_dedup_substring_sql() -> str:
     w = SUBSTR_W
     return f"""
@@ -649,4 +738,68 @@ SELECT g.doc_id, COUNT(*) AS n_shared_windows, MIN(o.owner) AS earliest_owner
 FROM grams g JOIN owners o USING (gram)
 WHERE g.doc_id > o.owner
 GROUP BY g.doc_id
+"""
+
+
+def _substring_spans_ctes() -> str:
+    """Shared CTE chain: corpus -> positioned grams -> owners ->
+    flagged window positions -> gaps-and-islands -> maximal spans
+    (0-based half-open token indices, matching substring_spans)."""
+    w = SUBSTR_W
+    return f"""
+WITH {DUCKDB_CORPUS_CTE.strip()},
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
+),
+posgrams AS (
+    SELECT doc_id, i - 1 AS pos,
+           list_aggregate(t[i:i+{w - 1}], 'string_agg', ' ') AS gram
+    FROM toks, unnest(range(1, len(t) - {w} + 2)) AS r(i)
+),
+owners AS (
+    SELECT gram, MIN(doc_id) AS owner FROM posgrams GROUP BY gram
+),
+flagged AS (
+    SELECT p.doc_id, p.pos
+    FROM posgrams p JOIN owners o USING (gram)
+    WHERE p.doc_id > o.owner
+),
+islands AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos > lag(pos) OVER w + {w} THEN 1 ELSE 0 END AS brk
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS token_start, MAX(pos) + {w} AS token_end
+    FROM (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+          FROM islands)
+    GROUP BY doc_id, sid
+)
+"""
+
+
+def oracle_substring_spans_sql() -> str:
+    return _substring_spans_ctes() + """
+SELECT doc_id, token_start, token_end FROM spans
+"""
+
+
+def oracle_substring_remove_sql() -> str:
+    return _substring_spans_ctes() + """
+, kept AS (
+    SELECT tk.doc_id, tk.i, tk.tok
+    FROM (SELECT doc_id, i, t[i] AS tok
+          FROM toks, unnest(range(1, len(t) + 1)) AS r(i)) tk
+    LEFT JOIN spans s
+      ON s.doc_id = tk.doc_id
+     AND tk.i - 1 >= s.token_start AND tk.i - 1 < s.token_end
+    WHERE s.doc_id IS NULL
+)
+SELECT c.doc_id, COALESCE(k.clean_text, '') AS clean_text
+FROM corpus c
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+           FROM kept GROUP BY doc_id) k USING (doc_id)
 """

@@ -107,3 +107,48 @@ def ngram_rows(
             yield pd.DataFrame(out)
 
     return df.select(*keys, text_col).mapInPandas(build, schema)
+
+
+def ngram_pos_rows(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """(keys..., pos, gram) — one row per token *window position*
+    (0-based; NOT distinct, unlike ngram_rows), for span-grain
+    consumers (substring span removal needs to know WHERE a duplicated
+    window sits, not just that it exists).  Same Arrow-batched narrow
+    map stage and Java-``\\s`` tokenizer parity as ngram_rows."""
+    import pandas as pd  # noqa: F401
+
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [f"{k} {dtypes[k]}" for k in keys] + ["pos int", "gram string"]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in keys}
+            out_p: list[int] = []
+            out_g: list[str] = []
+            key_cols = [pdf[k] for k in keys]
+            for row in zip(pdf[text_col], *key_cols):
+                txt = row[0]
+                if not txt:
+                    continue
+                toks = _WS.split(txt.strip(" "))
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                out_g.extend(" ".join(toks[i : i + n]) for i in range(m))
+                out_p.extend(range(m))
+                for k, v in zip(keys, row[1:]):
+                    out[k].extend([v] * m)
+            out["pos"] = out_p
+            out["gram"] = out_g
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, text_col).mapInPandas(build, schema)
