@@ -179,20 +179,57 @@ def build_queries(spark, sf_dir: str, factor: int):
         )
 
     # edge-regime corpus (page-length docs): materialized once so the
-    # bench measures the boilerplate operator, not corpus synthesis
-    edge_path = wp_path + "-edges"
-    if not os.path.exists(os.path.join(edge_path, "_SUCCESS")):
-        from xjs.pipeline import boilerplate
+    # bench measures the boilerplate operator, not corpus synthesis.
+    # Cache path keyed on the transform parameters (ADVICE r3): if
+    # EDGE_REPEAT or the injected text changes, the tag changes and the
+    # corpus rebuilds instead of silently benchmarking stale data.
+    from xjs.pipeline import boilerplate
 
+    edge_path = (
+        f"{wp_path}-edges-r{boilerplate.EDGE_REPEAT}"
+        f"v{boilerplate.EDGE_INJECT_VERSION}"
+    )
+    if not os.path.exists(os.path.join(edge_path, "_SUCCESS")):
         boilerplate.edge_regime_transform(
             spark.read.parquet(wp_path)
         ).write.mode("overwrite").parquet(edge_path)
 
     def q_boilerplate_edges():
-        from xjs.pipeline import boilerplate
-
         return boilerplate.boilerplate_grams_edges(
             spark.read.parquet(edge_path).select("source", "text"), "source"
+        )
+
+    def q_boilerplate_remove():
+        # detect -> remove composition (r3 verdict #6): the cleaning
+        # job's full cost, tracked round-over-round
+        corpus = spark.read.parquet(edge_path).select("doc_id", "source", "text")
+        flagged = boilerplate.boilerplate_grams_edges(
+            corpus.select("source", "text"), "source"
+        ).select("source", "gram")
+        return boilerplate.boilerplate_remove(corpus, flagged, "source")
+
+    def q_substring_spans():
+        # span-grain output (r4): collapse-first + native hashed gram
+        # keys, same pins as q_substring
+        docs = wp().select("doc_id", "text")
+        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return dedup.substring_spans(d, hash_mode="native")
+
+    def q_model_artifact():
+        # the real pickled model through the adapter at bench scale
+        # (r3 verdict #4): lazy per-worker load + numpy batch inference
+        from xjs.pipeline.model_artifact import (
+            DEFAULT_ARTIFACT,
+            model_fn_from_artifact,
+        )
+        from xjs.pipeline.text import text_model_adapter
+
+        return text_model_adapter(
+            wp().select("doc_id", "text"),
+            "lang_pred",
+            model_fn_from_artifact(DEFAULT_ARTIFACT),
         )
 
     def q_dynamic_udf():
@@ -229,6 +266,9 @@ def build_queries(spark, sf_dir: str, factor: int):
         # verdict #1); the full-document scan stays as a secondary row
         "boilerplate_edges": q_boilerplate_edges,
         "boilerplate_grams": q_boilerplate,
+        "boilerplate_remove": q_boilerplate_remove,
+        "substring_spans": q_substring_spans,
+        "text_model_artifact": q_model_artifact,
         "dynamic_json_udf": q_dynamic_udf,
     }
 

@@ -206,11 +206,15 @@ def main() -> None:
         return out
 
     gate_shapes = ("derive", "scan", "pipeline")  # dedup = diagnostic
+    # retry only on shapes actually being RE-MEASURED (ADVICE r3): a
+    # stored below-target shape outside run_shapes can't improve, so
+    # gating on it would burn max_attempts re-running the others
+    retry_shapes = tuple(s for s in gate_shapes if s in run_shapes)
     best = attempt() if run_shapes else {
         **stored, "loadavg_before": round(os.getloadavg()[0], 2),
         "loadavg_after": round(os.getloadavg()[0], 2)}
     for _ in range(max_attempts - 1 if run_shapes else 0):
-        if all(best[s]["scaling_efficiency"] >= target for s in gate_shapes):
+        if all(best[s]["scaling_efficiency"] >= target for s in retry_shapes):
             break
         nxt = attempt()
         # each shape is an independent measurement and contention only

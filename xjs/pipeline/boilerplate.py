@@ -154,6 +154,11 @@ def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 EDGE_REPEAT = 12  # body = doc text repeated 12x (~600 tokens)
+# bump when the injected header/footer text below changes — bench.py
+# keys its materialized edge-corpus cache on (EDGE_REPEAT, this), so a
+# transform change invalidates the stale parquet instead of silently
+# benchmarking old data (ADVICE r3)
+EDGE_INJECT_VERSION = 1
 
 
 def edge_regime_transform(d: DataFrame) -> DataFrame:

@@ -1,0 +1,148 @@
+"""A real trained model artifact for the text_model_adapter contract.
+
+Round-3 verdict #3: the adapter (xjs.pipeline.text.text_model_adapter)
+documents the lazy per-worker-load pattern real models (fastText, BPE
+tokenizers) use, but only the stopword default had ever been driven
+through it — "fastText is a drop-in" was a claim.  This module makes
+it evidence with an actual serialized artifact: a hashed char-n-gram
+multinomial Naive Bayes language classifier, trained offline
+(scripts/train_langid_artifact.py), pickled as a plain dict of numpy
+arrays (no custom classes, so unpickling needs only numpy — the same
+portability property a fastText .bin or sentencepiece .model file
+has), and loaded lazily ONCE per worker process through the exact
+closure pattern the adapter docstring prescribes.
+
+The model itself is deliberately small and classical (hashing trick +
+NB log-odds, the fastText-without-embeddings baseline): the point is
+the Spark-side contract — per-worker lazy load, Arrow-batch
+vectorized inference, no shuffle — not NLP novelty.  Inference is
+pure numpy over a (langs × buckets) log-probability matrix.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import zlib
+
+N_GRAM = 3          # char n-gram width
+N_BUCKETS = 4096    # hashing-trick feature space
+_PAD = " "          # char-gram padding, mirrors fastText's word boundary
+
+
+def _char_grams(text: str, n: int = N_GRAM):
+    s = _PAD + text.lower() + _PAD
+    return (s[i : i + n] for i in range(max(len(s) - n + 1, 1)))
+
+
+def _bucket(gram: str, n_buckets: int = N_BUCKETS) -> int:
+    # crc32, not hash(): python's hash is per-process seeded and would
+    # make train-time and worker-side features disagree
+    return zlib.crc32(gram.encode("utf-8")) % n_buckets
+
+
+def featurize(text: str, n_buckets: int = N_BUCKETS):
+    """Sparse hashed char-gram counts: {bucket: count}."""
+    counts: dict[int, int] = {}
+    for g in _char_grams(text):
+        b = _bucket(g, n_buckets)
+        counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def train(samples: list[tuple[str, str]], alpha: float = 0.5) -> dict:
+    """Multinomial NB over hashed char n-grams.
+
+    ``samples``: (lang, text) pairs.  Returns the artifact dict:
+    {langs: list[str], log_prob: float32[langs, buckets],
+     log_prior: float32[langs], n_gram, n_buckets}."""
+    import numpy as np
+
+    langs = sorted({lang for lang, _ in samples})
+    idx = {lang: i for i, lang in enumerate(langs)}
+    counts = np.full((len(langs), N_BUCKETS), alpha, dtype=np.float64)
+    n_docs = np.zeros(len(langs), dtype=np.float64)
+    for lang, text in samples:
+        i = idx[lang]
+        n_docs[i] += 1
+        for b, c in featurize(text).items():
+            counts[i, b] += c
+    log_prob = np.log(counts / counts.sum(axis=1, keepdims=True))
+    log_prior = np.log(n_docs / n_docs.sum())
+    return {
+        "langs": langs,
+        "log_prob": log_prob.astype("float32"),
+        "log_prior": log_prior.astype("float32"),
+        "n_gram": N_GRAM,
+        "n_buckets": N_BUCKETS,
+    }
+
+
+def save(model: dict, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(model, f, protocol=4)
+
+
+def load(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def predict_series(model: dict, texts) -> "object":
+    """Vectorized pd.Series[str] -> pd.Series[str] inference — the
+    exact model_fn signature text_model_adapter requires.  Builds one
+    (batch × buckets) count matrix and does a single matmul against
+    the transposed log-prob matrix; None/empty texts -> 'und'."""
+    import numpy as np
+    import pandas as pd
+
+    lp = model["log_prob"]
+    prior = model["log_prior"]
+    langs = model["langs"]
+    n_buckets = model["n_buckets"]
+    vals = texts.tolist()
+    feats = np.zeros((len(vals), n_buckets), dtype=np.float32)
+    mask = np.zeros(len(vals), dtype=bool)
+    for r, t in enumerate(vals):
+        if not t:
+            continue
+        mask[r] = True
+        for b, c in featurize(t, n_buckets).items():
+            feats[r, b] = c
+    scores = feats @ lp.T + prior
+    best = scores.argmax(axis=1)
+    out = [langs[b] if m else "und" for b, m in zip(best, mask)]
+    return pd.Series(out, index=texts.index)
+
+
+# one cache per worker process: the adapter's "load once per worker"
+# contract — keyed by path so tests with several artifacts coexist
+_MODEL_CACHE: dict = {}
+
+
+def model_fn_from_artifact(path: str, load_counter=None):
+    """A model_fn closure that lazily loads the pickled artifact on
+    first use inside each worker process (the pattern
+    text_model_adapter's docstring prescribes for fastText): the
+    driver ships only the path + this closure; the bytes are read
+    worker-side and cached in the module global, so N Arrow batches
+    cost ONE load per worker.  ``load_counter`` (a Spark accumulator)
+    increments per actual load — the e2e test's evidence that lazy
+    caching works."""
+
+    def model_fn(texts):
+        m = _MODEL_CACHE.get(path)
+        if m is None:
+            m = load(path)
+            _MODEL_CACHE[path] = m
+            if load_counter is not None:
+                load_counter.add(1)
+        return predict_series(m, texts)
+
+    return model_fn
+
+
+DEFAULT_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "data", "langid_cngram.pkl",
+)

@@ -110,7 +110,14 @@ def stream_heavy_hitters(
     heavy hitters.
 
     State is O(capacity) per bucket — constant, watermark-free — and
-    survives restarts through the streaming checkpoint."""
+    survives restarts through the streaming checkpoint.
+
+    Checkpoint compatibility (ADVICE r3): the state schema's array
+    item type is DERIVED from the input column type, so checkpoints
+    written under an older hardcoded ``array<long>`` schema — or after
+    the input column's type changes — fail restart with a state-schema
+    incompatibility; resume such queries from a fresh checkpoint
+    location."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
