@@ -497,3 +497,44 @@ def test_streaming_duplicate_keys_equals_batch(spark, sf_dir, tmp):
     closed = got.where(F.col("window.end") <= max_ts)
     assert closed.count() == batch.count() > 0
     assert closed.exceptAll(batch.select(closed.columns)).count() == 0
+
+
+def test_streaming_boilerplate_clean_equals_batch(spark, sf_dir, tmp):
+    """The Arrow-gram-cutter boilerplate pass on a stream (foreachBatch
+    against a batch-detected flagged-gram snapshot) == the batch
+    flag+clean over the same corpus — the cutter's mapInPandas runs as
+    plain batch work inside each micro-batch."""
+    from xjs.pipeline.boilerplate import (
+        boilerplate_flag_and_clean,
+        boilerplate_grams_edges,
+        edge_regime_corpus,
+    )
+    from xjs.streaming import run_boilerplate_clean_availablenow
+
+    corpus = edge_regime_corpus(spark, sf_dir)
+    flagged = boilerplate_grams_edges(
+        corpus.select("source", "text"), "source"
+    ).select("source", "gram")
+
+    corpus.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/in/b1")
+    corpus.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/in/b2")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")  # force >1 micro-batch
+        .parquet(f"{tmp}/in")
+    )
+    run_boilerplate_clean_availablenow(
+        stream, flagged, "source", f"{tmp}/out", f"{tmp}/ckpt"
+    )
+
+    got = spark.read.parquet(f"{tmp}/out")
+    expected = boilerplate_flag_and_clean(corpus, flagged, "source")
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected.select(got.columns)).count() == 0
+    assert expected.select(got.columns).exceptAll(got).count() == 0
+    # the injected footer docs actually got flagged and cleaned
+    assert got.filter(F.col("n_flagged_grams") > 0).count() > 0
+    assert got.filter(
+        (F.col("doc_id") % 3 == 0) & F.col("clean_text").contains("subscribe")
+    ).count() == 0

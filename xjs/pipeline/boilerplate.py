@@ -232,6 +232,39 @@ def boilerplate_remove(
     )
 
 
+def boilerplate_flag_and_clean(
+    df: DataFrame,
+    flagged: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM,
+    edge_tokens: int = 32,
+) -> DataFrame:
+    """(id, group, n_flagged_grams, clean_text): per-document count of
+    flagged grams present (Arrow edge cutter + broadcast semi-join)
+    alongside the cleaned text — the full per-doc consequence of a
+    detection snapshot, shared verbatim by the batch path and the
+    streaming twin (xjs.streaming.stream_boilerplate_clean).  Narrow
+    except one doc-keyed aggregation of cutter rows; the corpus text
+    is never shuffled."""
+    from xjs.pipeline.grams import ngram_rows
+
+    counts = (
+        ngram_rows(df, [id_col, group_col], text_col, n, edge_tokens)
+        .join(F.broadcast(flagged.select(group_col, "gram")), [group_col, "gram"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+    cleaned = boilerplate_remove(df, flagged, group_col, text_col, id_col)
+    return cleaned.join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.col(group_col),
+        F.coalesce(F.col("n_flagged_grams"), F.lit(0)).alias("n_flagged_grams"),
+        "clean_text",
+    )
+
+
 def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detection + removal composed over the page-length corpus: strip
     each source's edge-window boilerplate from every document."""

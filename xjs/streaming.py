@@ -339,6 +339,44 @@ def run_quarantine_availablenow(
     q.awaitTermination()
 
 
+def run_boilerplate_clean_availablenow(
+    stream_df: DataFrame,
+    flagged: DataFrame,
+    group_col: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Streaming twin of the boilerplate flag+clean pass — the Arrow
+    gram cutter path's stream form (r3 verdict #7).
+
+    Detection itself needs corpus-level document frequencies, so —
+    exactly like the drift check's baseline snapshot — the flagged-gram
+    set comes from a BATCH detection run and is held fixed while the
+    stream applies its per-doc consequences: each micro-batch routes
+    through ``boilerplate_flag_and_clean`` (the identical code path the
+    batch job runs), where the Arrow ``mapInPandas`` cutter executes as
+    plain batch work inside ``foreachBatch`` and the flagged set
+    broadcasts.  Stateless given the snapshot, so no watermark; refresh
+    the snapshot by re-running batch detection — no query restart
+    needed if ``flagged`` is re-read per batch by the caller."""
+    from xjs.pipeline.boilerplate import boilerplate_flag_and_clean
+
+    def route(batch_df: DataFrame, _batch_id: int) -> None:
+        boilerplate_flag_and_clean(
+            batch_df, flagged, group_col, text_col, id_col
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
