@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
-"""A/B the minhash bucket-cap form (r3 verdict #1): window-sort
-COUNT(*) OVER vs groupBy + broadcast anti-join, on the bench corpus at
-sf0.1 factor 200.  One-off measurement tool; the winner ships as
-drop_over_cap."""
+"""A/B the minhash bucket-cap forms (r3 verdict #1) on the bench
+corpus at sf0.1 factor 200: 'window' = COUNT(*) OVER sort-shuffle cap,
+'agg' = groupBy count + broadcast anti-join (the verdict's suggestion;
+loses — the probe branch recomputes signatures), 'grouped' =
+collect_list + local pair explosion (wins; shipped as
+dedup.bucket_pairs), 'uncapped' = plain self-join.  Measurement tool
+only — results recorded in ROUND4.md / the dedup.py docstring."""
 from __future__ import annotations
 
 import os
