@@ -41,6 +41,21 @@ def materialize(spark, sf_dir: str, factor: int) -> str:
     return path
 
 
+def force(df):
+    """Defeat count()-pruning (r4 honesty fix): for a query ending in
+    a pure projection, ``df.count()`` lets Catalyst prune every
+    column — the executed plan reads ``struct<>`` straight from
+    parquet metadata and the operator under test never runs (audited:
+    5 of 26 rows were metadata-only; a terminal aggregate doesn't help
+    because the harness's outer count() prunes into it too).  A filter
+    on the row hash puts the computation on the CARDINALITY path, so
+    counting must evaluate every output column; the sentinel keeps all
+    rows short of a 2^-64 collision, and the per-row cost is one
+    hash."""
+    h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    return df.filter(h != F.lit(42))
+
+
 def build_queries(spark, sf_dir: str, factor: int):
     """name -> df_factory for the headline set."""
     from xjs.checks import drift, monotonicity, referential, stats, uniqueness
@@ -99,11 +114,14 @@ def build_queries(spark, sf_dir: str, factor: int):
         return dedup.near_duplicate_pipeline(docs)
 
     def q_text_quality():
-        return text.quality_features(wp().select("doc_id", "text"))
+        # force(): terminal projection, count() would prune it all
+        return force(text.quality_features(wp().select("doc_id", "text")))
 
     def q_simhash():
         docs = wp().select("doc_id", "text")
-        return docs.select("doc_id", dedup.simhash_native(F.col("text")).alias("sim"))
+        return force(
+            docs.select("doc_id", dedup.simhash_native(F.col("text")).alias("sim"))
+        )
 
     def q_similarity():
         return similarity.brute_force_topk(spark, sf_dir)
@@ -147,7 +165,7 @@ def build_queries(spark, sf_dir: str, factor: int):
     def q_pii():
         from xjs.pipeline import pii
 
-        return pii.pii_scan(wp().select("doc_id", "text"))
+        return force(pii.pii_scan(wp().select("doc_id", "text")))
 
     def q_heavy():
         from xjs.pipeline import heavy
@@ -164,7 +182,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         from xjs.pipeline import packing
 
         w = wp().withColumn("lang2", F.coalesce(F.col("lang"), F.lit("xx")))
-        return packing.pack_sequences(w, "lang2", "doc_id")
+        return force(packing.pack_sequences(w, "lang2", "doc_id"))
 
     def q_pack_global():
         from xjs.pipeline import packing
@@ -206,7 +224,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         flagged = boilerplate.boilerplate_grams_edges(
             corpus.select("source", "text"), "source"
         ).select("source", "gram")
-        return boilerplate.boilerplate_remove(corpus, flagged, "source")
+        return force(boilerplate.boilerplate_remove(corpus, flagged, "source"))
 
     def q_substring_spans():
         # span-grain output (r4): collapse-first + native hashed gram

@@ -127,3 +127,43 @@ def test_boilerplate_builders_agree(spark, sf_dir):
     hof = boilerplate.boilerplate_grams(d, "source", builder="hof")
     assert arrow.exceptAll(hof).count() == 0
     assert hof.exceptAll(arrow).count() == 0
+
+
+def test_boilerplate_remove_builders_agree(spark, sf_dir):
+    """Arrow str.replace removal == the Catalyst F.aggregate/F.replace
+    reference fold, byte-for-byte, on the edge corpus — including
+    docs with no flagged grams (null array path) and multi-gram
+    sequential-removal order."""
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.boilerplate import (
+        boilerplate_grams_edges,
+        boilerplate_remove,
+        edge_regime_corpus,
+    )
+
+    corpus = edge_regime_corpus(spark, sf_dir)
+    flagged = boilerplate_grams_edges(
+        corpus.select("source", "text"), "source"
+    ).select("source", "gram")
+    arrow = boilerplate_remove(corpus, flagged, "source", builder="arrow")
+    hof = boilerplate_remove(corpus, flagged, "source", builder="hof")
+    assert arrow.count() == hof.count() == corpus.count()
+    assert arrow.exceptAll(hof).count() == 0
+    assert hof.exceptAll(arrow).count() == 0
+    # sequential-order sensitivity pinned on a handcrafted overlap:
+    # removing "a b" first turns "a a b b" into "a b" which the later
+    # gram "a b" also removes — both builders must agree on the chain
+    docs = spark.createDataFrame(
+        [(1, "s", "x a a b b y"), (2, "t", "untouched")],
+        "doc_id long, source string, text string",
+    )
+    fl = spark.createDataFrame(
+        [("s", "a b"), ("s", "b y")], "source string, gram string"
+    )
+    got_a = {r["doc_id"]: r["clean_text"]
+             for r in boilerplate_remove(docs, fl, "source", builder="arrow").collect()}
+    got_h = {r["doc_id"]: r["clean_text"]
+             for r in boilerplate_remove(docs, fl, "source", builder="hof").collect()}
+    assert got_a == got_h
+    assert got_a[2] == "untouched"
