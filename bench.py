@@ -118,9 +118,18 @@ def build_queries(spark, sf_dir: str, factor: int):
         return force(text.quality_features(wp().select("doc_id", "text")))
 
     def q_simhash():
+        # collapse-first composition like q_dedup_minhash/q_decontam
+        # (production order: signatures over unique texts only); the
+        # row was count()-pruned before r4 — the first honest
+        # measurement showed full-corpus signatures at ~80us/doc, and
+        # the exact-collapse is exactly how production avoids paying
+        # that for replicated content
         docs = wp().select("doc_id", "text")
+        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         return force(
-            docs.select("doc_id", dedup.simhash_native(F.col("text")).alias("sim"))
+            d.select("doc_id", dedup.simhash_native(F.col("text")).alias("sim"))
         )
 
     def q_similarity():

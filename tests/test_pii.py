@@ -60,7 +60,6 @@ def test_pii_regex_parity_spark_vs_duckdb(spark):
             .collect()
         )
         from xjs.pipeline.pii import PII_PATTERNS
-        from xjs.pipeline.hashing import char_hash_sql
 
         con = duckdb.connect()
         con.register("t", pdf)
@@ -72,7 +71,7 @@ def test_pii_regex_parity_spark_vs_duckdb(spark):
         for _, pat, repl in PII_PATTERNS:
             red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
         want = con.sql(
-            f"SELECT {counts}, {char_hash_sql(red)} AS redacted_hash "
+            f"SELECT {counts}, md5({red}) AS redacted_hash "
             "FROM t ORDER BY doc_id"
         ).fetchall()
         for g, w in zip(got, want):

@@ -12,8 +12,13 @@ character classes, bounded quantifiers, ``\\b`` word boundaries — no
 lookaround (RE2 has none), no Unicode classes.  Counts are measured
 independently per pattern on the original text; redaction applies the
 patterns sequentially (email -> ipv4 -> phone), and the redacted text
-is proven byte-identical against the SQL oracle via the portable
-char hash.
+is proven byte-identical against the SQL oracle via ``md5`` —
+native codegen in Spark AND a built-in in DuckDB with identical hex
+output, so the byte-identity proof costs one hash pass (r4: the
+previous polynomial char_hash was an interpreted per-CHARACTER
+Catalyst fold — ~320M interpreted lambda steps at 1M docs, 18.5s of
+the bench row; md5 swaps it for JVM-native hashing with the same
+proof strength).
 
 The raw word-salad test corpus contains no PII, so the query injects
 deterministic PII strings at fixed doc_id residues — same fixture
@@ -26,8 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from xjs.pipeline.hashing import char_hash, char_hash_sql
 
 #: (name, regex, replacement) — applied in this order for redaction
 PII_PATTERNS = [
@@ -58,12 +61,14 @@ def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     total = None
     for c in [F.col(f"n_{name}") for name, _, _ in PII_PATTERNS]:
         total = c if total is None else total + c
-    return df.select(F.col(id_col), t.alias("_t"), *counts).select(
+    return df.select(
+        F.col(id_col), *counts, redact(t).alias("_red")
+    ).select(
         id_col,
         *[f"n_{name}" for name, _, _ in PII_PATTERNS],
         total.alias("pii_total"),
-        F.length(redact(F.col("_t"))).alias("redacted_len"),
-        char_hash(redact(F.col("_t"))).alias("redacted_hash"),
+        F.length("_red").alias("redacted_len"),
+        F.md5(F.col("_red")).alias("redacted_hash"),
     )
 
 
@@ -113,6 +118,6 @@ counted AS (
 SELECT doc_id, n_email, n_ipv4, n_phone,
        ({total}) AS pii_total,
        length(redacted) AS redacted_len,
-       {char_hash_sql('redacted')} AS redacted_hash
+       md5(redacted) AS redacted_hash
 FROM counted
 """
