@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 green in CORRECTNESS_r03 go last.
     return {
         # --- new in round 4 ---
+        "chunk_documents": packing.q_chunk_documents,
         "substring_spans": dedup.q_substring_spans,
         "substring_remove": dedup.q_substring_remove,
         "decontaminate_tau": decontam.q_decontaminate_tau,
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- new in round 3 ---
+        "chunk_documents": packing.oracle_chunk_documents_sql(),
         "substring_spans": dedup.oracle_substring_spans_sql(),
         "substring_remove": dedup.oracle_substring_remove_sql(),
         "decontaminate_tau": decontam.oracle_decontaminate_tau_sql(),

