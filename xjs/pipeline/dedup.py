@@ -597,7 +597,16 @@ def substring_duplicates(
 
     ``hash_mode='native'`` shuffles xxhash64(gram) longs instead of
     the ~w·6-byte gram strings — measured 1.7× faster end-to-end at 1M
-    docs (57s vs 97s, local[32]).  A 64-bit collision would merge two
+    docs (57s vs 97s, local[32]).
+
+    The gram cutter appears TWICE in the physical plan (owners branch
+    + probe branch) — a deliberate recompute-over-cache choice, not an
+    accident: re-running the narrow tokenize costs CPU only, while
+    persisting the exploded gram rows would cost memory/disk ~10× the
+    corpus plus a cache write, and the single-pass ``min() OVER
+    (PARTITION BY gram)`` alternative concentrates every hot
+    boilerplate gram on one reducer with no partial aggregation (the
+    skew analysis above).  A 64-bit collision would merge two
     unrelated grams (expected collisions ≈ G²/2⁶⁵ ≈ 2e-4 at G=85M
     grams — negligible for dedup flagging); the portable default keeps
     the result provably identical to the SQL oracle."""
@@ -644,9 +653,10 @@ def substring_spans(
 
     Scale shape: positioned grams are a narrow Arrow map; the owner
     table reuses the same linear groupBy+join shape (and skew
-    rationale) as substring_duplicates; span merging is gaps-and-
-    islands over (doc, pos) — one doc-keyed window whose partitions are
-    bounded by document length, never corpus-sized."""
+    rationale) as substring_duplicates, including the deliberate
+    double-cutter recompute documented there; span merging is gaps-
+    and-islands over (doc, pos) — one doc-keyed window whose
+    partitions are bounded by document length, never corpus-sized."""
     from pyspark.sql.window import Window
 
     from xjs.pipeline.grams import ngram_pos_rows
