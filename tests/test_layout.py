@@ -62,3 +62,26 @@ def test_compaction_shrinks_file_count(spark, sf_dir, tmp):
         spark.read.parquet(f"{tmp}/compact").count()
         == spark.read.parquet(f"{tmp}/small").count()
     )
+
+
+def test_bench_force_defeats_count_pruning(spark, sf_dir):
+    """Guard for bench.force() (r4): count() over a pure projection
+    prunes to a struct<> metadata scan — the operator never runs; the
+    forced form must keep every output column in the scan."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import force
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    proj = docs.select("doc_id", F.reverse(F.col("text")).alias("r"))
+
+    def read_schemas(df):
+        plan = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+        return re.findall(r"ReadSchema: ([^\n]*)", plan)
+
+    assert all(r.startswith("struct<>") for r in read_schemas(proj))
+    forced = read_schemas(force(proj))
+    assert any("text" in r for r in forced), forced
