@@ -82,3 +82,47 @@ def test_spans_and_removal_match_bruteforce(spark, docs):
         for r in substring_remove(df, substring_spans(df, w=W)).collect()
     }
     assert got_clean == brute_clean(docs, want_spans, W)
+
+
+@st.composite
+def chunk_docs(draw):
+    n_docs = draw(st.integers(1, 5))
+    # words + raw whitespace chars: exercises Java-\s split edges
+    # (leading/trailing empty tokens, runs of mixed separators)
+    alphabet = st.sampled_from(["aa", "b", "ccc", " ", "\t", "\n"])
+    return [
+        (i, "".join(draw(st.lists(alphabet, min_size=0, max_size=40))))
+        for i in range(n_docs)
+    ]
+
+
+def _java_tokens(text):
+    """Mirror split(trim(text), '\\s+'): strip 0x20 only, ASCII \\s
+    class, keep leading empty field (xjs.pipeline.grams tokenizer
+    parity rules)."""
+    import re
+
+    return re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(chunk_docs())
+def test_chunk_documents_matches_bruteforce(spark, docs):
+    from xjs.pipeline.packing import chunk_documents
+
+    C, S = 7, 5
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["token_start"], r["token_end"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=C, stride=S).collect()
+    )
+    want = []
+    for doc_id, text in docs:
+        toks = _java_tokens(text)
+        n = len(toks)
+        for cid, start in enumerate(range(0, max(n, 1), S)):
+            if start >= n:
+                break
+            end = min(start + C, n)
+            want.append((doc_id, cid, start, end, " ".join(toks[start:end])))
+    assert got == sorted(want)
