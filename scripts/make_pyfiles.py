@@ -14,8 +14,9 @@ def main() -> None:
     dist.mkdir(exist_ok=True)
     out = dist / "xjs.zip"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for p in sorted((REPO / "xjs").rglob("*.py")):
-            z.write(p, p.relative_to(REPO))
+        for pat in ("*.py", "*.pkl"):  # .pkl: package-data model artifacts
+            for p in sorted((REPO / "xjs").rglob(pat)):
+                z.write(p, p.relative_to(REPO))
     print(out)
 
 

@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Train the langid char-n-gram NB artifact offline and pickle it
-under tests/data/ (VERDICT r3 #3).
+as package data under xjs/pipeline/artifacts/ (VERDICT r3 #3;
+moved out of tests/data in r5 so --py-files deployments ship it).
 
 The training corpus is deterministic synthetic prose per language,
 built from each language's stopword profile plus a fixed content
@@ -17,7 +18,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from xjs.pipeline.model_artifact import DEFAULT_ARTIFACT, save, train  # noqa: E402
+from xjs.pipeline.model_artifact import ARTIFACT_DIR, save, train  # noqa: E402
+
+OUT_PATH = os.path.join(ARTIFACT_DIR, "langid_cngram.pkl")
 from xjs.pipeline.text import LANG_PROFILES  # noqa: E402
 
 CONTENT = {
@@ -55,9 +58,9 @@ def main():
     acc = sum(p == lang for p, (lang, _) in zip(preds, held)) / len(held)
     print(f"held-out accuracy: {acc:.3f} over {len(held)} docs")
     assert acc >= 0.95, "artifact failed held-out sanity"
-    os.makedirs(os.path.dirname(DEFAULT_ARTIFACT), exist_ok=True)
-    save(model, DEFAULT_ARTIFACT)
-    print(f"wrote {DEFAULT_ARTIFACT} ({os.path.getsize(DEFAULT_ARTIFACT)} bytes)")
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    save(model, OUT_PATH)
+    print(f"wrote {OUT_PATH} ({os.path.getsize(OUT_PATH)} bytes)")
 
 
 if __name__ == "__main__":

@@ -209,8 +209,8 @@ def test_streaming_quarantine_equals_batch(spark, sf_dir, tmp):
     )
 
     b_clean, b_dirty = quarantine(wp, plan)
-    s_clean = spark.read.parquet(f"{tmp}/clean")
-    s_dirty = spark.read.parquet(f"{tmp}/dirty")
+    s_clean = spark.read.parquet(f"{tmp}/clean").drop("batch_id")
+    s_dirty = spark.read.parquet(f"{tmp}/dirty").drop("batch_id")
     assert s_clean.count() == b_clean.count()
     assert s_clean.exceptAll(b_clean.select(s_clean.columns)).count() == 0
     assert s_dirty.count() == b_dirty.count()
@@ -528,7 +528,7 @@ def test_streaming_boilerplate_clean_equals_batch(spark, sf_dir, tmp):
         stream, flagged, "source", f"{tmp}/out", f"{tmp}/ckpt"
     )
 
-    got = spark.read.parquet(f"{tmp}/out")
+    got = spark.read.parquet(f"{tmp}/out").drop("batch_id")
     expected = boilerplate_flag_and_clean(corpus, flagged, "source")
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected.select(got.columns)).count() == 0
@@ -538,3 +538,22 @@ def test_streaming_boilerplate_clean_equals_batch(spark, sf_dir, tmp):
     assert got.filter(
         (F.col("doc_id") % 3 == 0) & F.col("clean_text").contains("subscribe")
     ).count() == 0
+
+
+def test_idempotent_batch_write_replay(spark, sf_dir, tmp):
+    """A replayed micro-batch (same batch_id, foreachBatch's
+    at-least-once failure mode) overwrites its own partition instead
+    of appending duplicates; distinct batch ids coexist."""
+    from xjs.streaming import idempotent_batch_write
+
+    df = webpages(spark, sf_dir).select("doc_id", "url").limit(20)
+    idempotent_batch_write(df, f"{tmp}/sink", 0)
+    idempotent_batch_write(df, f"{tmp}/sink", 1)
+    # replay of batch 0 after a simulated failure
+    idempotent_batch_write(df, f"{tmp}/sink", 0)
+
+    got = spark.read.parquet(f"{tmp}/sink")
+    assert got.count() == 2 * df.count()
+    assert got.select("batch_id").distinct().count() == 2
+    per_batch = got.groupBy("batch_id").count().collect()
+    assert all(r["count"] == df.count() for r in per_batch)

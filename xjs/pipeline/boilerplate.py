@@ -257,7 +257,9 @@ def boilerplate_remove(
         for pdf in batches:
             out = []
             for t, gs in zip(pdf[text_col], pdf["_grams"]):
-                if t is None:
+                # not `t is None`: a non-Arrow pandas conversion can
+                # surface null strings as NaN floats (ADVICE r4)
+                if not isinstance(t, str):
                     out.append(None)
                     continue
                 if gs is not None:

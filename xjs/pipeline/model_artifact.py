@@ -98,16 +98,36 @@ def save(model: dict, path: str) -> None:
         pickle.dump(model, f, protocol=4)
 
 
+PKG_PREFIX = "pkg:"
+
+
 def load(path: str) -> dict:
+    """Load a pickled artifact from a filesystem path, or — for
+    ``pkg:<name>`` paths — from the package's own ``artifacts/``
+    data directory via importlib.resources, which works when the
+    package ships as ``spark-submit --py-files dist/xjs.zip`` (a
+    filesystem default under tests/ would not; ADVICE r4)."""
+    if path.startswith(PKG_PREFIX):
+        from importlib import resources
+
+        data = (
+            resources.files("xjs.pipeline") / "artifacts" / path[len(PKG_PREFIX):]
+        ).read_bytes()
+        return pickle.loads(data)
     with open(path, "rb") as f:
         return pickle.load(f)
 
 
+PREDICT_CHUNK = 2048  # rows per dense sub-matrix (bounds peak memory)
+
+
 def predict_series(model: dict, texts) -> "object":
     """Vectorized pd.Series[str] -> pd.Series[str] inference — the
-    exact model_fn signature text_model_adapter requires.  Builds one
-    (batch × buckets) count matrix and does a single matmul against
-    the transposed log-prob matrix; None/empty texts -> 'und'."""
+    exact model_fn signature text_model_adapter requires.  Works in
+    PREDICT_CHUNK-row sub-chunks: a dense (chunk × buckets) count
+    matrix + one matmul per chunk against the transposed log-prob
+    matrix (a full 10k-row Arrow batch dense would transiently cost
+    ~164 MB per core — ADVICE r4); None/empty texts -> 'und'."""
     import numpy as np
     import pandas as pd
 
@@ -116,19 +136,23 @@ def predict_series(model: dict, texts) -> "object":
     langs = model["langs"]
     n_buckets = model["n_buckets"]
     vals = texts.tolist()
-    feats = np.zeros((len(vals), n_buckets), dtype=np.float32)
-    mask = np.zeros(len(vals), dtype=bool)
-    for r, t in enumerate(vals):
-        if not t:
-            continue
-        mask[r] = True
-        ids, cnt = np.unique(
-            _bucket_ids(_byte_windows(t), n_buckets), return_counts=True
-        )
-        feats[r, ids] = cnt
-    scores = feats @ lp.T + prior
-    best = scores.argmax(axis=1)
-    out = [langs[b] if m else "und" for b, m in zip(best, mask)]
+    out: list = [None] * len(vals)
+    for lo in range(0, len(vals), PREDICT_CHUNK):
+        chunk = vals[lo:lo + PREDICT_CHUNK]
+        feats = np.zeros((len(chunk), n_buckets), dtype=np.float32)
+        mask = np.zeros(len(chunk), dtype=bool)
+        for r, t in enumerate(chunk):
+            if not t:
+                continue
+            mask[r] = True
+            ids, cnt = np.unique(
+                _bucket_ids(_byte_windows(t), n_buckets), return_counts=True
+            )
+            feats[r, ids] = cnt
+        scores = feats @ lp.T + prior
+        best = scores.argmax(axis=1)
+        for r, (b, m) in enumerate(zip(best, mask)):
+            out[lo + r] = langs[b] if m else "und"
     return pd.Series(out, index=texts.index)
 
 
@@ -159,7 +183,10 @@ def model_fn_from_artifact(path: str, load_counter=None):
     return model_fn
 
 
-DEFAULT_ARTIFACT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests", "data", "langid_cngram.pkl",
-)
+# package-data artifact (ships inside dist/xjs.zip; ADVICE r4 — a
+# tests/-tree default breaks under --py-files deployment)
+DEFAULT_ARTIFACT = PKG_PREFIX + "langid_cngram.pkl"
+
+# the artifact's on-disk home inside the source tree, for the offline
+# retrain script (writing through importlib.resources is not a thing)
+ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")

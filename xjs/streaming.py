@@ -301,6 +301,19 @@ def stream_drift_histogram(
     )
 
 
+def idempotent_batch_write(batch_df: DataFrame, out_path: str, batch_id: int) -> None:
+    """``foreachBatch`` is at-least-once: a micro-batch replayed after
+    a failure duplicates rows under a naive ``append``.  Writing each
+    batch to its own ``batch_id=N`` partition directory with overwrite
+    makes the replay idempotent — a rerun clobbers the failed
+    attempt's partial output instead of appending next to it, and a
+    plain ``spark.read.parquet(out_path)`` still sees the whole sink
+    (``batch_id`` surfaces as a partition column readers may drop).
+    This is the parquet analog of the Iceberg overwritePartitions
+    commit the batch checkpoint-manifest protocol describes."""
+    batch_df.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+
 def run_quarantine_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
@@ -314,19 +327,18 @@ def run_quarantine_availablenow(
 
     ``foreachBatch`` + per-batch ``persist`` scans each micro-batch
     once for both sides.  The streaming checkpoint makes batch
-    *delivery* exactly-once; the two appends inside the batch are
-    idempotent only per-batch-id — a production sink would write
-    batch-id-stamped files (or MERGE on Iceberg) for full
-    exactly-once, which is exactly what the batch
-    ``CheckpointedRun`` manifest protocol does."""
+    *delivery* exactly-once; the writes inside the batch go through
+    ``idempotent_batch_write`` (batch-id-keyed overwrite) so an
+    at-least-once replay of a failed batch cannot duplicate sink rows
+    — the parquet stand-in for MERGE on Iceberg."""
     from xjs.runtime import quarantine
 
-    def route(batch_df: DataFrame, _batch_id: int) -> None:
+    def route(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
             clean, dirty = quarantine(batch_df, plan)
-            clean.write.mode("append").parquet(clean_path)
-            dirty.write.mode("append").parquet(dirty_path)
+            idempotent_batch_write(clean, clean_path, batch_id)
+            idempotent_batch_write(dirty, dirty_path, batch_id)
         finally:
             batch_df.unpersist()
 
@@ -360,13 +372,19 @@ def run_boilerplate_clean_availablenow(
     plain batch work inside ``foreachBatch`` and the flagged set
     broadcasts.  Stateless given the snapshot, so no watermark; refresh
     the snapshot by re-running batch detection — no query restart
-    needed if ``flagged`` is re-read per batch by the caller."""
+    needed if ``flagged`` is re-read per batch by the caller.  Output
+    goes through ``idempotent_batch_write`` so an at-least-once replay
+    overwrites instead of appending duplicates (ADVICE r4)."""
     from xjs.pipeline.boilerplate import boilerplate_flag_and_clean
 
-    def route(batch_df: DataFrame, _batch_id: int) -> None:
-        boilerplate_flag_and_clean(
-            batch_df, flagged, group_col, text_col, id_col
-        ).write.mode("append").parquet(out_path)
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_batch_write(
+            boilerplate_flag_and_clean(
+                batch_df, flagged, group_col, text_col, id_col
+            ),
+            out_path,
+            batch_id,
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(route)
