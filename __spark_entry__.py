@@ -55,44 +55,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NB: dict order is driver-visible — the CORRECTNESS_r{N} file records
-    # only the FIRST 50 entries, so rotation rule (r3 verdict #2): queries
-    # new this round come first, then the 22 whose newest driver row dates
-    # from round 2's code (the r02-green tail the r03 capture missed);
-    # the 50 green in CORRECTNESS_r03 go last.
+    # only the FIRST 50 entries, so rotation rule (r3 verdict #2, r4
+    # verdict #2): queries new this round come first, then the 26 whose
+    # newest driver row is CORRECTNESS_r03 (all green there; judge
+    # re-verified all 76 against r4 code); the 50 green in
+    # CORRECTNESS_r04 go last.
     return {
-        # --- new in round 4 ---
-        "chunk_documents": packing.q_chunk_documents,
-        "substring_spans": dedup.q_substring_spans,
-        "substring_remove": dedup.q_substring_remove,
-        "decontaminate_tau": decontam.q_decontaminate_tau,
-        # --- driver row stale (r02-era code; judge re-verified in r3) ---
-        "boilerplate_grams": boilerplate.q_boilerplate_grams,
-        "decontaminate": decontam.q_decontaminate,
-        "text_quality": text.q_text_quality,
-        "text_langid": text.q_text_langid,
-        "text_fingerprint": text.q_text_fingerprint,
-        "text_repetition": text.q_text_repetition,
-        "text_tokens": text.q_text_tokens,
-        "text_pii": pii.q_text_pii,
-        "sample_weighted": sampling.q_sample_weighted,
-        "sample_bernoulli": sampling.q_sample_bernoulli,
-        "sample_stratified": sampling.q_sample_stratified,
-        "similarity_pq_codes": similarity.pq_codes,
-        "similarity_pq_topk": similarity.pq_topk,
-        "static_map_props": dynamic_spark.q_static_props_map,
-        "dynamic_json_props": dynamic_spark.q_dynamic_props,
-        "heavy_hitters": heavy.q_heavy_hitters,
-        "domain_reputation": domains.q_domain_reputation,
-        "embedding_quality": similarity.q_embedding_quality,
-        "multimodal_meta": multimodal.q_multimodal_meta,
-        "pack_sequences": packing.q_pack_sequences,
-        "salted_join_orders": skew.q_salted_join_orders,
-        "url_canonical_dedup": urls.q_url_canonical_dedup,
-        # --- r4-touched modules: refresh their rows this round too ---
-        "dedup_minhash_lsh": dedup.q_dedup_minhash,
-        "dedup_embedding": similarity.q_dedup_embedding,
-        "dedup_substring": dedup.q_dedup_substring,
-        # --- green driver row in CORRECTNESS_r03 ---
+        # --- new in round 5 (added as they land) ---
+        # --- newest driver row is r03: rotate to the front ---
+        "asof_join_clicks": asof.q_asof_clicks,
+        "webpages_violations": flagship_violations,
+        "webpages_verdicts": flagship_verdicts,
+        "quarantine_dirty": flagship_quarantine_dirty,
+        "quarantine_clean": flagship_quarantine_clean,
+        "stats_single_pass": lambda s, d: stats.webpages_stats(s, d, mode="exact"),
+        "uniqueness_url": uniqueness.webpages_duplicate_urls,
+        "uniqueness_evidence": uniqueness.webpages_duplicate_evidence,
+        "referential_domains": referential.webpages_referential_violations,
+        "referential_orders": referential.orders_missing_customers,
+        "drift_histogram": drift.webpages_drift_histogram,
+        "drift_psi": drift.webpages_drift_psi,
+        "ts_monotonicity_webpages": monotonicity.webpages_ts_monotonicity,
+        "ts_range_webpages": monotonicity.webpages_ts_range,
+        "ts_monotonicity_events": monotonicity.events_ts_monotonicity,
+        "freshness": freshness.q_freshness,
+        "row_count_anomaly": freshness.q_row_count_anomaly,
+        "outlier_text_lengths": outliers.q_outlier_text_lengths,
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_simhash_pairs": dedup.q_dedup_simhash_pairs,
+        "similarity_topk_bruteforce": similarity.brute_force_topk,
+        "similarity_lsh_buckets": similarity.lsh_buckets,
+        "similarity_lsh_topk": similarity.lsh_topk,
+        "similarity_ivf_assign": similarity.ivf_assignments,
+        "similarity_ivf_topk": similarity.ivf_topk,
         "pack_sequences_global": packing.q_pack_sequences_global,
         "boilerplate_grams_edges": boilerplate.q_boilerplate_grams_edges,
         "boilerplate_remove": boilerplate.q_boilerplate_remove,
@@ -114,35 +109,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": select.q_curate_corpus,
         "sessionize_events": sessions.q_sessionize_events,
         "session_window_stats": sessions.q_session_window_stats,
-        "asof_join_clicks": asof.q_asof_clicks,
-        # schema validation (static Catalyst plan)
-        "webpages_violations": flagship_violations,
-        "webpages_verdicts": flagship_verdicts,
-        "quarantine_dirty": flagship_quarantine_dirty,
-        "quarantine_clean": flagship_quarantine_clean,
-        # engine constraint classes (north_star)
-        "stats_single_pass": lambda s, d: stats.webpages_stats(s, d, mode="exact"),
-        "uniqueness_url": uniqueness.webpages_duplicate_urls,
-        "uniqueness_evidence": uniqueness.webpages_duplicate_evidence,
-        "referential_domains": referential.webpages_referential_violations,
-        "referential_orders": referential.orders_missing_customers,
-        "drift_histogram": drift.webpages_drift_histogram,
-        "drift_psi": drift.webpages_drift_psi,
-        "ts_monotonicity_webpages": monotonicity.webpages_ts_monotonicity,
-        "ts_range_webpages": monotonicity.webpages_ts_range,
-        "ts_monotonicity_events": monotonicity.events_ts_monotonicity,
-        "freshness": freshness.q_freshness,
-        "row_count_anomaly": freshness.q_row_count_anomaly,
-        "outlier_text_lengths": outliers.q_outlier_text_lengths,
-        # training-data pipeline ops
-        "dedup_exact": dedup.q_dedup_exact,
+        # r5-revectorized modules: keep inside the 50-row window
         "dedup_simhash": dedup.q_dedup_simhash,
-        "dedup_simhash_pairs": dedup.q_dedup_simhash_pairs,
-        "similarity_topk_bruteforce": similarity.brute_force_topk,
-        "similarity_lsh_buckets": similarity.lsh_buckets,
-        "similarity_lsh_topk": similarity.lsh_topk,
-        "similarity_ivf_assign": similarity.ivf_assignments,
-        "similarity_ivf_topk": similarity.ivf_topk,
+        "dedup_minhash_lsh": dedup.q_dedup_minhash,
+        "dedup_embedding": similarity.q_dedup_embedding,
+        "similarity_pq_codes": similarity.pq_codes,
+        "similarity_pq_topk": similarity.pq_topk,
+        "embedding_quality": similarity.q_embedding_quality,
+        # --- green driver row in CORRECTNESS_r04 ---
+        "chunk_documents": packing.q_chunk_documents,
+        "substring_spans": dedup.q_substring_spans,
+        "substring_remove": dedup.q_substring_remove,
+        "decontaminate_tau": decontam.q_decontaminate_tau,
+        "boilerplate_grams": boilerplate.q_boilerplate_grams,
+        "decontaminate": decontam.q_decontaminate,
+        "text_quality": text.q_text_quality,
+        "text_langid": text.q_text_langid,
+        "text_fingerprint": text.q_text_fingerprint,
+        "text_repetition": text.q_text_repetition,
+        "text_tokens": text.q_text_tokens,
+        "text_pii": pii.q_text_pii,
+        "sample_weighted": sampling.q_sample_weighted,
+        "sample_bernoulli": sampling.q_sample_bernoulli,
+        "sample_stratified": sampling.q_sample_stratified,
+        "static_map_props": dynamic_spark.q_static_props_map,
+        "dynamic_json_props": dynamic_spark.q_dynamic_props,
+        "heavy_hitters": heavy.q_heavy_hitters,
+        "domain_reputation": domains.q_domain_reputation,
+        "multimodal_meta": multimodal.q_multimodal_meta,
+        "pack_sequences": packing.q_pack_sequences,
+        "salted_join_orders": skew.q_salted_join_orders,
+        "url_canonical_dedup": urls.q_url_canonical_dedup,
+        "dedup_substring": dedup.q_dedup_substring,
     }
 
 
