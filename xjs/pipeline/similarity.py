@@ -18,14 +18,34 @@ the DuckDB oracle): w(p, i) = ((i*31 + p*17) % 7) - 3.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 N_QUERIES = 8       # vec_id < N_QUERIES are the query set
 TOP_K = 5
 N_PLANES = 6
 DIM = 64
+
+# default builder for the vector math (VERDICT r4 #1): "arrow" runs
+# the dot/dist2/cosine/bucket arithmetic as Arrow-batched numpy
+# kernels; "hof" is the pure-Catalyst higher-order-function form the
+# DuckDB oracles mirror literally.  Catalyst evaluates HOF lambdas
+# interpreted per element — this repo has measured that constant
+# factor at 4-25x three times (grams r3, pii md5 r4, boilerplate
+# builder r4) — while the kernels below are constructed to be
+# BIT-IDENTICAL to the HOF fold (not merely close), so the oracle
+# proves the same numbers the fast path produces.
+BUILDER = "arrow"
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -44,6 +64,74 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# --------------------------------------------------------------------------
+# Arrow/numpy batch kernels (r5).  The trick that makes them safe to
+# swap under the oracle gate: each kernel is vectorized ACROSS rows
+# but accumulates over the vector dims in ascending order — one
+# `acc = acc + A[:, k] * B[:, k]` per dim — so every double add/mul
+# happens in exactly the sequence the sequential HOF fold (and the
+# oracle's list_reduce) performs.  IEEE doubles make that order
+# significant: numpy's own pairwise-summation `sum`/BLAS `dot` would
+# drift in the final ulps and could flip a round(x, 4) landing on a
+# rounding boundary; the dim-loop form cannot.  64 vectorized ops per
+# batch still beats 64 interpreted lambda calls per ROW by orders of
+# magnitude.
+# --------------------------------------------------------------------------
+
+
+def _stack(series: "pd.Series"):
+    """(n, dim) float64 matrix from an Arrow list column (equal dims
+    by construction on every kernel path — enforced, not assumed)."""
+    import numpy as np
+
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+def _seq_dot(A, B):
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for k in range(A.shape[1]):
+        acc = acc + A[:, k] * B[:, k]
+    return acc
+
+
+def _seq_dist2(A, B):
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for k in range(A.shape[1]):
+        d = A[:, k] - B[:, k]
+        acc = acc + d * d
+    return acc
+
+
+@pandas_udf(DoubleType())
+def _cosine_kernel(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A, B = _stack(a), _stack(b)
+    cos = _seq_dot(A, B) / (np.sqrt(_seq_dot(A, A)) * np.sqrt(_seq_dot(B, B)))
+    return pd.Series(cos, index=a.index)
+
+
+@pandas_udf(DoubleType())
+def _dist2_kernel(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    return pd.Series(_seq_dist2(_stack(a), _stack(b)), index=a.index)
+
+
+def _cos(a: Column, b: Column, builder: str) -> Column:
+    return _cosine_kernel(a, b) if builder == "arrow" else cosine(a, b)
+
+
+def _d2(a: Column, b: Column, builder: str) -> Column:
+    return _dist2_kernel(a, b) if builder == "arrow" else _dist2(a, b)
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # float32 -> float64 once, so all arithmetic is double (matches oracle)
@@ -52,9 +140,15 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, builder: str = BUILDER
+) -> DataFrame:
     """(query_id, neighbor_id, score): exact cosine top-k per query."""
     emb = load_embeddings(spark, sf_dir)
+    return brute_force_topk_df(emb, builder=builder)
+
+
+def brute_force_topk_df(emb: DataFrame, builder: str = BUILDER) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -63,7 +157,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+        F.round(_cos(F.col("q_emb"), F.col("emb"), builder), 4).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -73,7 +167,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bucket(emb: Column) -> Column:
+def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
     """Random-hyperplane bucket id: bit p = sign(w_p · emb)."""
     def mk_plane(p):
         # NB: a 2-arg lambda in F.transform means (element, index) —
@@ -81,7 +175,7 @@ def lsh_bucket(emb: Column) -> Column:
         return lambda i: (((i * 31 + p * 17) % 7) - 3).cast("double")
 
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         w = F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), mk_plane(p))
         proj = F.aggregate(
             F.zip_with(w, emb, lambda wi, xi: wi * xi),
@@ -95,14 +189,50 @@ def lsh_bucket(emb: Column) -> Column:
     return total.cast("int")
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bucket_kernel(n_planes: int):
+    """pandas_udf factory: the lsh_bucket arithmetic as a numpy
+    kernel — per plane, a sequential dim-loop projection (bit-identical
+    to the HOF fold), then the sign bits packed into the bucket id."""
+
+    @pandas_udf(IntegerType())
+    def k(emb: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        A = _stack(emb)
+        total = np.zeros(A.shape[0], dtype=np.int64)
+        for p in range(n_planes):
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for i in range(A.shape[1]):
+                w = float(((i * 31 + p * 17) % 7) - 3)
+                acc = acc + w * A[:, i]
+            total = total + (acc > 0) * (1 << p)
+        return pd.Series(total.astype("int32"), index=emb.index)
+
+    return k
+
+
+def _bucket(emb: Column, builder: str, n_planes: int = N_PLANES) -> Column:
+    if builder == "arrow":
+        return _bucket_kernel(n_planes)(emb)
+    return lsh_bucket(emb, n_planes)
+
+
+def lsh_buckets(
+    spark: SparkSession, sf_dir: str, builder: str = BUILDER
+) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
-    return emb.select("vec_id", lsh_bucket(F.col("emb")).alias("bucket"))
+    return emb.select("vec_id", _bucket(F.col("emb"), builder).alias("bucket"))
 
 
-def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk(
+    spark: SparkSession, sf_dir: str, builder: str = BUILDER
+) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket."""
-    emb = load_embeddings(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("emb")))
+    emb = load_embeddings(spark, sf_dir).withColumn(
+        "bucket", _bucket(F.col("emb"), builder)
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -114,7 +244,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+        F.round(_cos(F.col("q_emb"), F.col("emb"), builder), 4).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -144,10 +274,11 @@ def _dist2(a: Column, b: Column) -> Column:
     )
 
 
-def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign(emb: DataFrame, cent: DataFrame, builder: str = BUILDER) -> DataFrame:
     """(vec_id, emb, cluster): nearest centroid, ties to lowest id."""
     scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "emb", "cluster", _dist2(F.col("emb"), F.col("centroid")).alias("d2")
+        "vec_id", "emb", "cluster",
+        _d2(F.col("emb"), F.col("centroid"), builder).alias("d2"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
     return (
@@ -157,7 +288,7 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_centroids(emb: DataFrame, n_cells: int = N_CELLS, iters: int = KMEANS_ITERS) -> DataFrame:
+def kmeans_centroids(emb: DataFrame, n_cells: int = N_CELLS, iters: int = KMEANS_ITERS, builder: str = BUILDER) -> DataFrame:
     """(cluster, centroid) after ``iters`` Lloyd steps from
     first-vectors seeds.  Means recompute via posexplode ->
     groupBy(cluster, pos) -> reassemble (sort_array on (pos, val)),
@@ -166,7 +297,7 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = N_CELLS, iters: int = KMEANS
         F.col("vec_id").cast("int").alias("cluster"), F.col("emb").alias("centroid")
     )
     for _ in range(iters):
-        assigned = _assign(emb, cent)
+        assigned = _assign(emb, cent, builder)
         expl = assigned.select("cluster", F.posexplode("emb").alias("pos", "val"))
         means = expl.groupBy("cluster", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
         cent = (
@@ -180,17 +311,21 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = N_CELLS, iters: int = KMEANS
     return cent
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, builder: str = BUILDER
+) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
-    cent = kmeans_centroids(emb)
-    return _assign(emb, cent).select("vec_id", "cluster")
+    cent = kmeans_centroids(emb, builder=builder)
+    return _assign(emb, cent, builder).select("vec_id", "cluster")
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, builder: str = BUILDER
+) -> DataFrame:
     """Approximate top-k searching only the query's IVF cell."""
     emb = load_embeddings(spark, sf_dir)
-    cent = kmeans_centroids(emb)
-    assigned = _assign(emb, cent)
+    cent = kmeans_centroids(emb, builder=builder)
+    assigned = _assign(emb, cent, builder)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -202,7 +337,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("score"),
+        F.round(_cos(F.col("q_emb"), F.col("emb"), builder), 4).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -247,7 +382,8 @@ def neardup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_duplicates(
-    emb: DataFrame, threshold: float = COSINE_T, max_bucket: int | None = None
+    emb: DataFrame, threshold: float = COSINE_T, max_bucket: int | None = None,
+    builder: str = BUILDER, n_planes: int = N_PLANES,
 ) -> DataFrame:
     """(vec_a, vec_b, cos): same-LSH-bucket pairs with exact cosine >=
     threshold.
@@ -257,9 +393,9 @@ def embedding_near_duplicates(
     dropped before the self-join — their pairwise candidates grow
     quadratically while carrying no ranking information (route such
     buckets to a cluster report instead of pairwise verification).  At
-    web scale, also raise N_PLANES so expected bucket size N/2^P stays
-    small."""
-    b = emb.withColumn("bucket", lsh_bucket(F.col("emb")))
+    web scale, also raise ``n_planes`` so expected bucket size N/2^P
+    stays small (the scaled bench runs 16 planes over 1M vectors)."""
+    b = emb.withColumn("bucket", _bucket(F.col("emb"), builder, n_planes))
     if max_bucket is not None:
         # grouped cap (r4, same shape as minhash_candidate_pairs): the
         # bucket projection shuffles narrow (bucket, vec_id) rows once
@@ -283,7 +419,7 @@ def embedding_near_duplicates(
             .select(
                 F.col("doc_id_a").alias("vec_a"),
                 F.col("doc_id_b").alias("vec_b"),
-                F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos"),
+                F.round(_cos(F.col("emb_a"), F.col("emb_b"), builder), 4).alias("cos"),
             )
             .filter(F.col("cos") >= threshold)
         )
@@ -296,7 +432,7 @@ def embedding_near_duplicates(
         cands.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4).alias("cos"),
+            F.round(_cos(F.col("a.emb"), F.col("b.emb"), builder), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -512,45 +648,51 @@ def _sub_emb(emb: DataFrame, j: int) -> DataFrame:
     return emb.select("vec_id", F.slice("emb", j * SUB_DIM + 1, SUB_DIM).alias("emb"))
 
 
-def pq_codebooks(emb: DataFrame) -> DataFrame:
+def pq_codebooks(emb: DataFrame, builder: str = BUILDER) -> DataFrame:
     """(sub, cluster, centroid): one K_PQ-centroid k-means codebook per
     SUB_DIM-wide subspace (reuses the IVF Lloyd machinery; driver loops
     over M_PQ subspaces, each a small independent job)."""
     books = None
     for j in range(M_PQ):
-        b = kmeans_centroids(_sub_emb(emb, j), n_cells=K_PQ, iters=PQ_ITERS).select(
+        b = kmeans_centroids(
+            _sub_emb(emb, j), n_cells=K_PQ, iters=PQ_ITERS, builder=builder
+        ).select(
             F.lit(j).alias("sub"), "cluster", "centroid"
         )
         books = b if books is None else books.unionAll(b)
     return books
 
 
-def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
+def pq_encode(emb: DataFrame, books: DataFrame, builder: str = BUILDER) -> DataFrame:
     """(vec_id, sub, code): nearest codebook centroid per subspace —
     a narrow broadcast-assign per subspace, exactly the IVF assign
     shape; this is the one pass that reads the float vectors."""
     codes = None
     for j in range(M_PQ):
         cent = books.filter(F.col("sub") == j).select("cluster", "centroid")
-        a = _assign(_sub_emb(emb, j), cent).select(
+        a = _assign(_sub_emb(emb, j), cent, builder).select(
             "vec_id", F.lit(j).alias("sub"), F.col("cluster").alias("code")
         )
         codes = a if codes is None else codes.unionAll(a)
     return codes
 
 
-def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_codes(
+    spark: SparkSession, sf_dir: str, builder: str = BUILDER
+) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
-    return pq_encode(emb, pq_codebooks(emb))
+    return pq_encode(emb, pq_codebooks(emb, builder), builder)
 
 
-def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk(
+    spark: SparkSession, sf_dir: str, builder: str = BUILDER
+) -> DataFrame:
     """Approximate top-k by ADC: exact per-subspace distance tables for
     the (broadcastable) query set, summed over the corpus codes.  The
     corpus side touches only (vec_id, sub, code) — never the floats."""
     emb = load_embeddings(spark, sf_dir)
-    books = pq_codebooks(emb)
-    codes = pq_encode(emb, books)
+    books = pq_codebooks(emb, builder)
+    codes = pq_encode(emb, books, builder)
 
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     qsubs = None
@@ -562,7 +704,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsubs = s if qsubs is None else qsubs.unionAll(s)
     dtable = qsubs.join(books, "sub").select(
         "query_id", "sub", F.col("cluster").alias("code"),
-        _dist2(F.col("q_emb"), F.col("centroid")).alias("d2"),
+        _d2(F.col("q_emb"), F.col("centroid"), builder).alias("d2"),
     )
     approx = (
         codes.join(F.broadcast(dtable), ["sub", "code"])
@@ -679,18 +821,86 @@ FROM ranked WHERE rank <= {TOP_K}
 EXPECTED_DIM = 64
 
 
+@pandas_udf(StructType([
+    StructField("sq", DoubleType()),
+    StructField("bad", BooleanType()),
+    StructField("nan", BooleanType()),
+]))
+def _quality_kernel(v: "pd.Series") -> "pd.DataFrame":
+    """Sum-of-squares + nonfinite flag, ragged-safe: rows are grouped
+    by vector length and each group runs the sequential dim-loop (so a
+    dim-violation row doesn't break the stack, and every group's fold
+    order matches the HOF/oracle exactly).  Null vectors -> nulls,
+    like the Catalyst fold.
+
+    The `nan` field exists because Arrow serialization of a pandas
+    float column maps NaN -> null (pa.Array.from_pandas semantics), so
+    a NaN sum-of-squares cannot survive the UDF boundary; the caller
+    rebuilds it Spark-side.  A NaN fold result occurs iff some
+    component is NaN (squares are >= 0 or +inf, so no inf - inf)."""
+    import numpy as np
+
+    vals = v.to_numpy()
+    n = len(vals)
+    out_sq: list = [None] * n
+    out_bad: list = [None] * n
+    out_nan: list = [None] * n
+    lens = np.fromiter(
+        (len(x) if x is not None else -1 for x in vals), dtype=np.int64, count=n
+    )
+    for L in np.unique(lens):
+        idx = np.nonzero(lens == L)[0]
+        if L < 0:
+            continue
+        if L == 0:
+            for i in idx:
+                out_sq[i], out_bad[i], out_nan[i] = 0.0, False, False
+            continue
+        M = np.stack([vals[i] for i in idx]).astype(np.float64, copy=False)
+        acc = np.zeros(len(idx), dtype=np.float64)
+        for k in range(L):
+            acc = acc + M[:, k] * M[:, k]
+        bad = ~np.isfinite(M).all(axis=1)
+        isnan = np.isnan(M).any(axis=1)
+        for j, i in enumerate(idx):
+            out_sq[i], out_bad[i], out_nan[i] = (
+                float(acc[j]), bool(bad[j]), bool(isnan[j]),
+            )
+    return pd.DataFrame({"sq": out_sq, "bad": out_bad, "nan": out_nan})
+
+
 def embedding_quality(df: DataFrame, vec_col: str = "embedding",
                       id_col: str = "vec_id",
-                      expected_dim: int = EXPECTED_DIM) -> DataFrame:
+                      expected_dim: int = EXPECTED_DIM,
+                      builder: str = BUILDER) -> DataFrame:
     """Vector-table QA: dimensionality violations, zero vectors,
     NaN/Inf components, L2 norm — the checks that catch a broken
     embedding job before it poisons ANN indexes and near-dup passes.
 
-    Narrow single-pass Catalyst (one sequential fold per row, same
-    IEEE evaluation order as the SQL oracle, so norms compare
-    bit-stable after rounding); at 100 TB this fuses into the scan
-    like every other row-local check."""
+    Narrow single-pass, no shuffle; at 100 TB this fuses into the
+    scan like every other row-local check.  builder 'arrow' runs the
+    per-row fold as the ragged-safe numpy kernel (same sequential
+    fold order, so norms compare bit-stable after rounding); 'hof' is
+    the literal Catalyst mirror of the SQL oracle."""
     v = F.col(vec_col)
+    if builder == "arrow":
+        staged = df.select(
+            F.col(id_col), F.size(v).alias("dim"),
+            _quality_kernel(v).alias("_q"),
+        )
+        # rebuild the NaN the Arrow boundary erased (see kernel doc)
+        sq = F.when(F.col("_q.nan"), F.lit(float("nan"))).otherwise(
+            F.col("_q.sq")
+        )
+        has_bad = F.col("_q.bad")
+        return staged.select(
+            F.col(id_col),
+            F.col("dim"),
+            (F.col("dim") != expected_dim).alias("dim_violation"),
+            (sq == 0.0).alias("is_zero"),
+            has_bad.alias("has_nonfinite"),
+            F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        )
     sq = F.aggregate(
         F.transform(v, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
