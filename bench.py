@@ -41,6 +41,26 @@ def materialize(spark, sf_dir: str, factor: int) -> str:
     return path
 
 
+def materialize_embeddings(spark, sf_dir: str, factor: int) -> str:
+    """Write the factor-scaled embeddings table to parquet once (r4
+    verdict #1: the base fixture is 2000 vectors — similarity rows
+    measured fixture size, not operator cost; at the default factor
+    500 the scaled table is 1M distinct 64-d vectors)."""
+    import re
+
+    from xjs.pipeline.similarity import EMB_SCALE_VERSION, embeddings_scaled
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/").split("/")[-1])
+    path = os.path.join(
+        REPO, ".tmp", f"bench-emb-{tag}-f{factor}v{EMB_SCALE_VERSION}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        embeddings_scaled(spark, sf_dir, factor).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def force(df):
     """Defeat count()-pruning (r4 honesty fix): for a query ending in
     a pure projection, ``df.count()`` lets Catalyst prune every
@@ -134,6 +154,31 @@ def build_queries(spark, sf_dir: str, factor: int):
 
     def q_similarity():
         return similarity.brute_force_topk(spark, sf_dir)
+
+    # ---- factor-scaled embedding rows (r4 verdict #1): operator cost
+    # at 1M distinct vectors, not the 2000-row fixture.  16 planes is
+    # the web-scale bucket knob (expected bucket size N/2^16).
+    emb_factor = int(os.environ.get("XJS_BENCH_EMB_FACTOR", "500"))
+    emb_path = materialize_embeddings(spark, sf_dir, emb_factor)
+
+    def emb_scaled():
+        return similarity.cast_embeddings(spark.read.parquet(emb_path))
+
+    def q_emb_bucket_scaled():
+        return force(similarity.lsh_buckets_df(emb_scaled(), n_planes=16))
+
+    def q_emb_quality_scaled():
+        return force(
+            similarity.embedding_quality(spark.read.parquet(emb_path))
+        )
+
+    def q_similarity_topk_scaled():
+        return similarity.brute_force_topk_df(emb_scaled())
+
+    def q_emb_neardup_scaled():
+        return similarity.embedding_near_duplicates(
+            emb_scaled(), max_bucket=16, n_planes=16
+        )
 
     def q_decontam():
         # production composition: exact-collapse first (same first stage
@@ -279,6 +324,10 @@ def build_queries(spark, sf_dir: str, factor: int):
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
         "similarity_topk": q_similarity,
+        "embedding_bucket_scaled": q_emb_bucket_scaled,
+        "embedding_quality_scaled": q_emb_quality_scaled,
+        "similarity_topk_scaled": q_similarity_topk_scaled,
+        "embedding_neardup_scaled": q_emb_neardup_scaled,
         "decontaminate": q_decontam,
         "dedup_substring": q_substring,
         "sample_stratified": q_stratified,

@@ -39,6 +39,41 @@ def test_kernel_equals_hof(spark, sf_dir, fn):
     )
 
 
+def test_brute_force_all_three_builders_agree(spark, sf_dir):
+    """'arrow' (map-side combine: broadcast query set, one corpus
+    pass, per-batch local top-k with the 1e-4 raw-score margin),
+    'pairs' (explicit crossJoin + Arrow cosine kernel), and 'hof'
+    (pure Catalyst) produce identical rows, rounding boundaries and
+    tie-breaks included."""
+    e = sim.load_embeddings(spark, sf_dir)
+    r_map = rows(sim.brute_force_topk_df(e, "arrow"))
+    assert r_map == rows(sim.brute_force_topk_df(e, "pairs"))
+    assert r_map == rows(sim.brute_force_topk_df(e, "hof"))
+    assert len(r_map) == sim.N_QUERIES * sim.TOP_K
+
+
+def test_lsh_plane_family_has_long_period(spark, sf_dir):
+    """Regression for the r5 scale bug: the old weight formula
+    ((i*31+p*17) % 7 - 3) was linear in p mod 7, so planes repeated
+    with period 7 and bucket count capped at 128 forever.  The
+    scrambled family must produce strictly more distinct buckets at
+    16 planes than at 7."""
+    emb = sim.load_embeddings(spark, sf_dir)
+    n7 = emb.select(sim._bucket(F.col("emb"), "arrow", 7).alias("b")).distinct().count()
+    n16 = emb.select(sim._bucket(F.col("emb"), "arrow", 16).alias("b")).distinct().count()
+    assert n16 > n7, (n7, n16)
+
+
+def test_embeddings_scaled_distinct(spark, sf_dir):
+    """The scaled bench fixture must be factor*n_base DISTINCT
+    vectors (a short-period perturbation once collapsed 500 replicas
+    onto 13 patterns and produced degenerate mega-buckets)."""
+    df = sim.embeddings_scaled(spark, sf_dir, 30)
+    n = df.count()
+    assert n == 30 * 500
+    assert df.select("embedding").distinct().count() == n
+
+
 def test_kernel_equals_hof_neardup(spark, sf_dir):
     corp = sim.neardup_embedding_corpus(spark, sf_dir)
     a = rows(

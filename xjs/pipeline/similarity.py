@@ -13,7 +13,12 @@
   shape (assign → co-partition → local rank) is identical.
 
 Hyperplane weights are small deterministic integers (same formula in
-the DuckDB oracle): w(p, i) = ((i*31 + p*17) % 7) - 3.
+the DuckDB oracle): w(p, i) = (((i*31 + p*17) * 993) % 1024) % 7 - 3.
+(The extra *993 % 1024 scramble matters: a plain (i*31 + p*17) % 7 is
+linear in p mod 7, so planes repeat with period 7 and bucket count
+caps at 2^7 = 128 no matter how many planes are requested — measured
+at the 1M-vector bench table, r5.  With the scramble the p-period is
+1024, so n_planes is a real web-scale knob.)
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StructField,
     StructType,
 )
@@ -125,18 +131,86 @@ def _dist2_kernel(a: "pd.Series", b: "pd.Series") -> "pd.Series":
 
 
 def _cos(a: Column, b: Column, builder: str) -> Column:
-    return _cosine_kernel(a, b) if builder == "arrow" else cosine(a, b)
+    # "pairs" = the explicit pairwise form with the Arrow kernel (kept
+    # for A/B against the map-combine brute force); "hof" = Catalyst
+    return _cosine_kernel(a, b) if builder in ("arrow", "pairs") else cosine(a, b)
 
 
 def _d2(a: Column, b: Column, builder: str) -> Column:
-    return _dist2_kernel(a, b) if builder == "arrow" else _dist2(a, b)
+    return _dist2_kernel(a, b) if builder in ("arrow", "pairs") else _dist2(a, b)
+
+
+def cast_embeddings(df: DataFrame) -> DataFrame:
+    """float32 -> float64 once, so all arithmetic is double (matches
+    the DuckDB oracle's CAST(x AS DOUBLE))."""
+    return df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # float32 -> float64 once, so all arithmetic is double (matches oracle)
-    return df.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    return cast_embeddings(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+EMB_SCALE_VERSION = 2  # bump when the perturbation recipe changes
+                       # (cache paths key on it, like EDGE_INJECT_VERSION)
+
+
+def embeddings_scaled(
+    spark: SparkSession, sf_dir: str, factor: int,
+    parallelism: int | None = None, amp: float = 0.11,
+) -> DataFrame:
+    """Deterministic scale-up of the embeddings table for benching
+    (the webpages_scaled pattern): replicate ``factor``x with a vec_id
+    stride and a per-replica deterministic perturbation so the scaled
+    corpus has ``factor * n_base`` DISTINCT vectors — a pure function
+    of (sf_dir, factor), no RNG.
+
+    Perturbation: emb'[i] = emb[i] + (((rep*2654435761 + i*40503) %
+    1024) - 512) / 1024 * amp, rounded back to float32.  The odd
+    Knuth multiplier makes rep -> offset-pattern injective mod 1024,
+    so every replica below rep 1024 is a distinct vector (a plain
+    ``% 13`` pattern would collapse the 500 default replicas onto 13
+    identical vectors and produce degenerate mega-buckets).  The
+    default amp=0.11 gives |delta| ~ 0.26 against unit-norm base
+    vectors: replicas of one base stay mutual near-neighbors (cos ~
+    0.94, so near-dup verification does real work) while their LSH
+    signs differ enough to spread across buckets.
+
+    Parallelism is driven by an explicitly partitioned spark.range
+    broadcast-hash-joined to the small base table — a crossJoin
+    against the single-file parquet side would plan one task total
+    (see webpages_scaled's note)."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_base = base.count()  # small dimension table; one cheap job
+    par = parallelism or spark.sparkContext.defaultParallelism * 4
+    ids = spark.range(0, n_base * factor, 1, par)
+    keyed = ids.select(
+        (F.col("id") % n_base).alias("_base"),
+        (F.col("id") / n_base).cast("long").alias("_rep"),
+    )
+    # embeddings vec_id is dense 0..n_base-1, so _base == vec_id
+    dim = F.broadcast(base.withColumnRenamed("vec_id", "_base"))
+    rep = F.col("_rep")
+    pert = F.transform(
+        "embedding",
+        lambda x, i: (
+            x.cast("double")
+            + ((rep * 2654435761 + i * 40503) % 1024 - 512) / 1024.0 * amp
+        ).cast("float"),
+    )
+    return keyed.join(dim, "_base").select(
+        (F.col("_base") + rep * F.lit(1_000_000)).alias("vec_id"),
+        pert.alias("embedding"),
+        "label",
+    )
+
+
+def lsh_buckets_df(
+    emb: DataFrame, builder: str = BUILDER, n_planes: int = N_PLANES
+) -> DataFrame:
+    return emb.select(
+        "vec_id", _bucket(F.col("emb"), builder, n_planes).alias("bucket")
     )
 
 
@@ -149,6 +223,9 @@ def brute_force_topk(
 
 
 def brute_force_topk_df(emb: DataFrame, builder: str = BUILDER) -> DataFrame:
+    if builder == "arrow":
+        # map-side-combine form (r5): the scalable brute-force shape
+        return _brute_force_topk_map(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -167,12 +244,105 @@ def brute_force_topk_df(emb: DataFrame, builder: str = BUILDER) -> DataFrame:
     )
 
 
+def _brute_force_topk_map(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force exact top-k as ONE corpus pass with map-side
+    combine — the 100 TB shape.  The crossJoin+scalar-UDF form ships
+    every (query, corpus) pair through the Arrow boundary (8x the
+    corpus bytes for 8 queries, then an 8M-row shuffle into the
+    ranking window); here the bounded query set rides the closure,
+    each corpus vector crosses the boundary ONCE, scores are an
+    (n x q) dim-loop inside the batch, and only each batch's top-k
+    candidates (~q*k rows per 10k-row batch) reach the final window.
+
+    Exactness under rounding: the global key is (round(cos,4) DESC,
+    neighbor_id ASC) but the local cut uses RAW cosines — so the
+    batch keeps every row with raw >= (k-th best raw) - 1e-4.  If
+    raw < r_k - 1e-4 then round(raw) < round(r_k) strictly (values
+    more than one rounding quantum apart cannot share a rounded
+    value), so every dropped row is outranked by >= k rows of its own
+    batch regardless of tie-breaks; the kept superset therefore
+    contains the exact global top-k.  The per-dim accumulation order
+    matches the sequential HOF fold, so scores are bit-identical to
+    the 'hof' builder and the DuckDB oracle."""
+    import numpy as np
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "emb").collect(),
+        key=lambda r: r.vec_id,
+    )  # bounded driver collect: the query set (n_queries rows)
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r.emb) for r in q_rows], dtype=np.float64)
+    # per-query norms via the same sequential fold
+    qn = np.zeros(len(q_rows), dtype=np.float64)
+    for d in range(Q.shape[1]):
+        qn = qn + Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("score_raw", DoubleType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["emb"].to_numpy()).astype(np.float64, copy=False)
+            ids = pdf["vec_id"].to_numpy()
+            n, dim = A.shape
+            acc = np.zeros((n, len(qids)), dtype=np.float64)
+            an = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                col = A[:, d]
+                acc = acc + col[:, None] * Q[None, :, d]
+                an = an + col * col
+            S = acc / (np.sqrt(an)[:, None] * qn[None, :])
+            self_mask = ids[:, None] == qids[None, :]
+            sel_r, sel_q = [], []
+            for j in range(len(qids)):
+                col = np.where(self_mask[:, j], -np.inf, S[:, j])
+                m = np.count_nonzero(np.isfinite(col))
+                if m == 0:
+                    continue
+                if m > k:
+                    rk = np.partition(col, -k)[-k]
+                    keep = np.nonzero(col >= rk - 1e-4)[0]
+                else:
+                    keep = np.nonzero(np.isfinite(col))[0]
+                sel_r.append(keep)
+                sel_q.append(np.full(len(keep), j, dtype=np.int64))
+            if not sel_r:
+                continue
+            rr, qq = np.concatenate(sel_r), np.concatenate(sel_q)
+            yield pd.DataFrame({
+                "query_id": qids[qq],
+                "neighbor_id": ids[rr],
+                "score_raw": S[rr, qq],
+            })
+
+    cand = emb.select("vec_id", "emb").mapInPandas(gen, out_schema)
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round("score_raw", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
     """Random-hyperplane bucket id: bit p = sign(w_p · emb)."""
     def mk_plane(p):
         # NB: a 2-arg lambda in F.transform means (element, index) —
         # closure factory keeps this a 1-arg lambda
-        return lambda i: (((i * 31 + p * 17) % 7) - 3).cast("double")
+        return lambda i: (
+            (((i * 31 + p * 17) * 993) % 1024) % 7 - 3
+        ).cast("double")
 
     bits = []
     for p in range(n_planes):
@@ -205,7 +375,7 @@ def _bucket_kernel(n_planes: int):
         for p in range(n_planes):
             acc = np.zeros(A.shape[0], dtype=np.float64)
             for i in range(A.shape[1]):
-                w = float(((i * 31 + p * 17) % 7) - 3)
+                w = float((((i * 31 + p * 17) * 993) % 1024) % 7 - 3)
                 acc = acc + w * A[:, i]
             total = total + (acc > 0) * (1 << p)
         return pd.Series(total.astype("int32"), index=emb.index)
@@ -525,7 +695,7 @@ FROM ranked WHERE rank <= {TOP_K}
 
 _BUCKET_SQL = " + ".join(
     f"(CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, {DIM}+1), "
-    f"i -> ((((i-1)*31 + {p}*17) % 7) - 3)::DOUBLE * emb[i])), (x,y)->x+y) > 0 "
+    f"i -> (((((i-1)*31 + {p}*17) * 993) % 1024) % 7 - 3)::DOUBLE * emb[i])), (x,y)->x+y) > 0 "
     f"THEN {2 ** p} ELSE 0 END)"
     for p in range(N_PLANES)
 )
