@@ -30,6 +30,7 @@ from xjs.checks import drift, freshness, monotonicity, outliers, referential, st
 from xjs.pipeline import (  # noqa: E402
     asof,
     boilerplate,
+    bpe,
     clusters,
     decontam,
     dedup,
@@ -141,11 +142,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_orders": skew.q_salted_join_orders,
         "url_canonical_dedup": urls.q_url_canonical_dedup,
         "dedup_substring": dedup.q_dedup_substring,
+        # --- new in round 5 (last per the driver-row rotation) ---
+        "token_count_real": bpe.q_token_count_real,
+        "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- new in round 5 ---
+        "token_count_real": bpe.oracle_token_count_real_sql(),
+        "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
         # --- new in round 3 ---
         "chunk_documents": packing.oracle_chunk_documents_sql(),
         "substring_spans": dedup.oracle_substring_spans_sql(),

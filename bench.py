@@ -304,6 +304,14 @@ def build_queries(spark, sf_dir: str, factor: int):
             model_fn_from_artifact(DEFAULT_ARTIFACT),
         )
 
+    def q_token_count_real():
+        # real BPE billing at bench scale (r4 verdict gap #1): per-worker
+        # merge-table load + per-worker pre-token LRU; web text repeats
+        # words heavily so the merge loop amortizes to a dict hit
+        from xjs.pipeline.bpe import token_count_real
+
+        return token_count_real(wp().select("doc_id", "text"))
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -345,6 +353,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "boilerplate_remove": q_boilerplate_remove,
         "substring_spans": q_substring_spans,
         "text_model_artifact": q_model_artifact,
+        "token_count_real": q_token_count_real,
         "dynamic_json_udf": q_dynamic_udf,
     }
 

@@ -38,7 +38,6 @@ def pack_sequences(
     the budget-chunk index where the document starts within its
     stratum's concatenation stream; bin_offset the token offset inside
     that bin."""
-    w = Window.partitionBy(stratum).orderBy(order_col)
     # project the token count BEFORE the window: the window's sort
     # shuffle then carries (order, stratum, n_tokens) — ~20 bytes/row —
     # instead of the full document text, which Spark would otherwise
@@ -49,9 +48,19 @@ def pack_sequences(
         F.col(stratum),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
+    return pack_counts(base, stratum, order_col, budget)
+
+
+def pack_counts(
+    toks: DataFrame, stratum: str, order_col: str, budget: int = BUDGET
+) -> DataFrame:
+    """Bin assignment over a pre-counted (order, stratum, n_tokens)
+    frame — the shared tail of pack_sequences and its real-tokenizer
+    twin (bpe.pack_sequences_bpe); only scalars enter the window."""
+    w = Window.partitionBy(stratum).orderBy(order_col)
     cum = F.sum("n_tokens").over(w)  # inclusive prefix sum
     start = (cum - F.col("n_tokens")).cast("long")
-    return base.select(
+    return toks.select(
         F.col(order_col),
         F.col(stratum),
         F.col("n_tokens"),
