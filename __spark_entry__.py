@@ -36,6 +36,7 @@ from xjs.pipeline import (  # noqa: E402
     dedup,
     domains,
     heavy,
+    incremental,
     multimodal,
     packing,
     pii,
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (last per the driver-row rotation) ---
         "token_count_real": bpe.q_token_count_real,
         "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
+        "dedup_incremental": incremental.q_dedup_incremental,
     }
 
 
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         # --- new in round 5 ---
         "token_count_real": bpe.oracle_token_count_real_sql(),
         "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
+        "dedup_incremental": incremental.oracle_dedup_incremental_sql(),
         # --- new in round 3 ---
         "chunk_documents": packing.oracle_chunk_documents_sql(),
         "substring_spans": dedup.oracle_substring_spans_sql(),
