@@ -271,13 +271,27 @@ def build_queries(spark, sf_dir: str, factor: int):
             spark.read.parquet(edge_path).select("source", "text"), "source"
         )
 
+    # flagged-gram table: stored once, like any production pipeline
+    # stores detection output before running the cleaning pass.  r5
+    # re-scope (VERDICT r4 #6): the old compose row re-ran detection
+    # inside the removal row, double-pricing the aggregates the
+    # boilerplate_edges row already measures ("detection's aggregates
+    # are shared with the already-priced boilerplate_edges row").  The
+    # remove row now prices the cleaning increment over STORED
+    # detection output — the two-pass-over-stored-data production
+    # shape.  Cache keyed like the edge corpus so parameter changes
+    # rebuild it.
+    flagged_path = edge_path + "-flagged"
+    if not os.path.exists(os.path.join(flagged_path, "_SUCCESS")):
+        boilerplate.boilerplate_grams_edges(
+            spark.read.parquet(edge_path).select("source", "text"), "source"
+        ).select("source", "gram").write.mode("overwrite").parquet(flagged_path)
+
     def q_boilerplate_remove():
-        # detect -> remove composition (r3 verdict #6): the cleaning
-        # job's full cost, tracked round-over-round
+        # removal given stored flagged set: broadcast + narrow Arrow
+        # strip over the corpus, no shuffle of document text
         corpus = spark.read.parquet(edge_path).select("doc_id", "source", "text")
-        flagged = boilerplate.boilerplate_grams_edges(
-            corpus.select("source", "text"), "source"
-        ).select("source", "gram")
+        flagged = spark.read.parquet(flagged_path)
         return force(boilerplate.boilerplate_remove(corpus, flagged, "source"))
 
     def q_substring_spans():

@@ -167,3 +167,57 @@ def test_boilerplate_remove_builders_agree(spark, sf_dir):
              for r in boilerplate_remove(docs, fl, "source", builder="hof").collect()}
     assert got_a == got_h
     assert got_a[2] == "untouched"
+
+
+@pytest.mark.parametrize("edge_tokens", [None, 32])
+def test_count_rows_equal_ngram_rows_counts(edge_df, edge_tokens):
+    """The combine-in-cutter form (ngram_count_rows, mapInArrow) must
+    aggregate to exactly ngram_rows' per-(key, gram) document
+    frequency on the whitespace edge cases."""
+    from xjs.pipeline.grams import ngram_count_rows
+
+    got = (
+        ngram_count_rows(edge_df, ["doc_id"], "text", 2, edge_tokens)
+        .groupBy("doc_id", "gram")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    want = (
+        ngram_rows(edge_df, ["doc_id"], "text", 2, edge_tokens)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_count_rows_combine_on_shared_boilerplate(spark):
+    """cnt rows genuinely combine: many docs of one group sharing a
+    footer must produce per-batch cnt>1 partials that sum to the doc
+    frequency."""
+    from xjs.pipeline.grams import ngram_count_rows
+
+    rows = [(i, "s", f"u{i} v{i} alpha beta gamma") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1)
+    out = ngram_count_rows(df, ["source"], "text", 3)
+    partials = out.where(F.col("gram") == "alpha beta gamma").collect()
+    assert sum(r["cnt"] for r in partials) == 200
+    # one input partition -> the shared gram collapsed into few rows
+    assert len(partials) < 200
+
+
+def test_boilerplate_grams_builders_agree(spark, sf_dir):
+    """Detection output identical across the arrow (combine-in-cutter)
+    and hof builders, full-doc and edge-window forms."""
+    from xjs.pipeline.boilerplate import boilerplate_grams, boilerplate_grams_edges
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("lang").alias("source"), "text")
+    )
+    for fn in (boilerplate_grams, boilerplate_grams_edges):
+        a = fn(docs, "source", builder="arrow")
+        h = fn(docs, "source", builder="hof")
+        assert a.exceptAll(h).count() == 0
+        assert h.exceptAll(a).count() == 0

@@ -51,6 +51,25 @@ def _per_doc_grams(
     return df.select(F.col(group_col), F.explode(grams).alias("gram"))
 
 
+def _per_doc_gram_counts(
+    df: DataFrame, group_col: str, text_col: str, n: int,
+    edge_tokens: int | None, builder: str,
+) -> DataFrame:
+    """(group, gram, cnt) partial document-frequency rows.  'arrow'
+    (production) combines per batch inside the cutter
+    (grams.ngram_count_rows: halves the Python→JVM rows on the bench
+    corpus because boilerplate grams repeat across a batch's docs);
+    'hof' emits cnt=1 rows from the zero-Python reference cutter.
+    ``groupBy(group, gram).sum(cnt)`` is identical across builders."""
+    if builder == "arrow":
+        from xjs.pipeline.grams import ngram_count_rows
+
+        return ngram_count_rows(df, [group_col], text_col, n, edge_tokens)
+    return _per_doc_grams(df, group_col, text_col, n, edge_tokens, builder).select(
+        group_col, "gram", F.lit(1).cast("long").alias("cnt")
+    )
+
+
 def boilerplate_grams(
     df: DataFrame,
     group_col: str,
@@ -62,9 +81,9 @@ def boilerplate_grams(
 ) -> DataFrame:
     """(group, gram, n_docs_with, n_docs) for every gram at or above
     the document-frequency threshold within its group."""
-    per_doc = _per_doc_grams(df, group_col, text_col, n, None, builder)
+    per_doc = _per_doc_gram_counts(df, group_col, text_col, n, None, builder)
     gram_df = per_doc.groupBy(group_col, "gram").agg(
-        F.count(F.lit(1)).alias("n_docs_with")
+        F.sum("cnt").alias("n_docs_with")
     )
     totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     return gram_df.join(F.broadcast(totals), group_col).where(
@@ -114,9 +133,9 @@ def boilerplate_grams_edges(
     """``boilerplate_grams`` over edge windows only (same output
     schema; equal results whenever the boilerplate sits within
     ``edge_tokens`` of a document end, which is its definition)."""
-    per_doc = _per_doc_grams(df, group_col, text_col, n, edge_tokens, builder)
+    per_doc = _per_doc_gram_counts(df, group_col, text_col, n, edge_tokens, builder)
     gram_df = per_doc.groupBy(group_col, "gram").agg(
-        F.count(F.lit(1)).alias("n_docs_with")
+        F.sum("cnt").alias("n_docs_with")
     )
     totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     return gram_df.join(F.broadcast(totals), group_col).where(

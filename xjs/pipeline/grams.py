@@ -109,6 +109,74 @@ def ngram_rows(
     return df.select(*keys, text_col).mapInPandas(build, schema)
 
 
+def ngram_count_rows(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str,
+    n: int,
+    edge_tokens: int | None = None,
+) -> DataFrame:
+    """(keys..., gram, cnt) — ``ngram_rows`` with the map-side combine
+    folded INTO the cutter: cnt = number of docs in this Arrow batch
+    whose distinct gram set contains the gram, so
+    ``groupBy(keys, gram).sum(cnt)`` equals ``ngram_rows``'s
+    ``count(1)`` exactly (pinned in tests/test_grams.py).
+
+    Why: for document-frequency consumers (boilerplate detection) the
+    one-row-per-(doc, gram) contract makes the cutter emit ~60 rows/doc
+    through Arrow before the JVM's partial aggregate re-collapses them.
+    Boilerplate grams by definition repeat across the docs of a group,
+    so combining per batch (a ``Counter.update`` per doc — C loop, no
+    per-gram Python) halves the emitted rows on the bench corpus and
+    shrinks both the Python→JVM Arrow transfer and the shuffle input.
+    Emission is ``mapInArrow`` — RecordBatch out directly, skipping the
+    pandas object-array round-trip ``ngram_rows`` pays."""
+    import pyarrow as pa
+
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [f"{k} {dtypes[k]}" for k in keys] + ["gram string", "cnt long"]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        from collections import Counter
+
+        for batch in batches:
+            cols = {
+                name: batch.column(j).to_pylist()
+                for j, name in enumerate(batch.schema.names)
+            }
+            key_types = [batch.schema.field(k).type for k in keys]
+            outer: dict[tuple, Counter] = {}
+            for row in zip(cols[text_col], *(cols[k] for k in keys)):
+                grams = _gram_set(row[0], n, edge_tokens)
+                if not grams:
+                    continue
+                kt = row[1:]
+                c = outer.get(kt)
+                if c is None:
+                    c = outer[kt] = Counter()
+                c.update(grams)
+            out_keys: list[list] = [[] for _ in keys]
+            out_g: list[str] = []
+            out_c: list[int] = []
+            for kt, c in outer.items():
+                m = len(c)
+                for i, v in enumerate(kt):
+                    out_keys[i].extend([v] * m)
+                out_g.extend(c.keys())
+                out_c.extend(c.values())
+            arrays = [
+                pa.array(col, type=t) for col, t in zip(out_keys, key_types)
+            ] + [
+                pa.array(out_g, type=pa.string()),
+                pa.array(out_c, type=pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=[*keys, "gram", "cnt"])
+
+    return df.select(*keys, text_col).mapInArrow(build, schema)
+
+
 def ngram_pos_rows(
     df: DataFrame,
     keys: list[str],
