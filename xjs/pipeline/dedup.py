@@ -573,6 +573,7 @@ SUBSTR_W = 16  # window width in tokens
 def substring_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     w: int = SUBSTR_W, hash_mode: str = "portable",
+    skew_split: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate detection at token-window grain — the
     dedup class of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -589,11 +590,27 @@ def substring_duplicates(
     whole op is linear in total token count, never pairwise.  Two
     shuffles on the gram key: a partial-aggregating groupBy (map-side
     combine collapses within-partition repeats of hot boilerplate
-    grams) and the join (AQE skew-split handles a mega-hot gram).  A
-    window-function formulation (`min(id) OVER (PARTITION BY gram)`)
-    would be one shuffle but concentrates each hot gram's rows on one
-    reducer with no partial aggregation — the groupBy+join shape is
-    deliberately the skew-safe one.
+    grams) and the join.  A window-function formulation (`min(id) OVER
+    (PARTITION BY gram)`) would be one shuffle but concentrates each
+    hot gram's rows on one reducer with no partial aggregation — the
+    groupBy+join shape is deliberately the skew-safe one.
+
+    ``skew_split``: in the default plan AQE's OptimizeSkewedJoin can
+    NEVER fire on the owner join — its owner-side child is
+    Sort←Aggregate←ShuffleStage, not a plain shuffle read, and Spark
+    only splits a skewed partition when the opposite child is a
+    re-readable shuffle stage (the r5 Zipf plan test surfaced this;
+    earlier rounds claimed AQE cover here, wrongly).  The hot-gram
+    probe rows therefore land on a single reducer; harmless at bench
+    scale (the owner side is 1 row/gram, so the join output is linear
+    — imbalance, not blowup), but a mega-hot boilerplate gram at
+    corpus scale becomes a straggler.  ``skew_split=True`` inserts an
+    explicit repartition of the aggregated owner table, making both
+    join children plain shuffle stages so AQE skew-split CAN engage
+    (asserted, plan-level, in tests/test_zipf_skew.py) — at the cost
+    of one extra shuffle of the unique-gram table.  Turn it on when
+    the gram-frequency tail is Zipfian-hot; results are identical
+    either way (same test).
 
     ``hash_mode='native'`` shuffles xxhash64(gram) longs instead of
     the ~w·6-byte gram strings — measured 1.7× faster end-to-end at 1M
@@ -624,6 +641,16 @@ def substring_duplicates(
     else:
         grams = doc_grams(df, text_col, id_col, w)
     owners = grams.groupBy("gram").agg(F.min(id_col).alias("_owner"))
+    if skew_split:
+        # materialize the owner table (production: it is persisted
+        # state anyway — the incremental-dedup composition stores it).
+        # A plain repartition('gram') is optimized away (the aggregate
+        # already satisfies that partitioning) and non-ENSURE_REQUIREMENTS
+        # shuffle origins are skipped by OptimizeSkewedJoin; breaking
+        # lineage makes the join re-shuffle the owner side itself, so
+        # both SMJ children become re-readable ENSURE_REQUIREMENTS
+        # shuffle stages — the precondition for AQE skew-split.
+        owners = owners.localCheckpoint(eager=False)
     return (
         grams.join(owners, "gram")
         .filter(F.col(id_col) > F.col("_owner"))
