@@ -35,6 +35,8 @@ from xjs.pipeline import (  # noqa: E402
     decontam,
     dedup,
     domains,
+    export,
+    lines,
     heavy,
     incremental,
     multimodal,
@@ -147,6 +149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_real": bpe.q_token_count_real,
         "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
         "dedup_incremental": incremental.q_dedup_incremental,
+        "line_dedup_lines": lines.q_line_dedup_lines,
+        "line_dedup_remove": lines.q_line_dedup_remove,
+        "export_shards": export.q_export_shards,
+        "export_shards_sized": export.q_export_shards_sized,
     }
 
 
@@ -156,6 +162,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count_real": bpe.oracle_token_count_real_sql(),
         "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
         "dedup_incremental": incremental.oracle_dedup_incremental_sql(),
+        "line_dedup_lines": lines.oracle_line_dedup_lines_sql(),
+        "line_dedup_remove": lines.oracle_line_dedup_remove_sql(),
+        "export_shards": export.oracle_export_shards_sql(),
+        "export_shards_sized": export.oracle_export_shards_sized_sql(),
         # --- new in round 3 ---
         "chunk_documents": packing.oracle_chunk_documents_sql(),
         "substring_spans": dedup.oracle_substring_spans_sql(),

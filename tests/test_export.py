@@ -1,0 +1,111 @@
+"""Deterministic shuffle-shard export: determinism, coverage,
+balance, exact-size shards, and the materialized layout."""
+
+import shutil
+import tempfile
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from xjs.pipeline.export import (
+    SHARD_SIZE,
+    shard_assign,
+    shard_assign_sized,
+    write_shards,
+)
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+
+@pytest.fixture()
+def tmp():
+    d = tempfile.mkdtemp(prefix="xjs-export-", dir="/root/repo/.tmp")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_assign_deterministic_and_total(docs):
+    a = sorted(shard_assign(docs, n_shards=8).collect())
+    b = sorted(shard_assign(docs, n_shards=8).collect())
+    assert a == b
+    n = docs.count()
+    assert len(a) == n
+    assert len({r.doc_id for r in a}) == n  # each doc exactly once
+
+
+def test_assign_positions_contiguous_per_shard(docs):
+    rows = shard_assign(docs, n_shards=8).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+
+
+def test_assign_balanced(docs):
+    sizes = Counter(r.shard_id for r in shard_assign(docs, n_shards=8).collect())
+    n = docs.count()
+    mean = n / 8
+    assert len(sizes) == 8
+    # binomial: 6 sigma around n/8 (sigma = sqrt(n * p * (1-p)))
+    sigma = (n * (1 / 8) * (7 / 8)) ** 0.5
+    for s, c in sizes.items():
+        assert abs(c - mean) < 6 * sigma, (s, c)
+
+
+def test_seed_changes_permutation(docs):
+    a = {r.doc_id: (r.shard_id, r.pos_in_shard)
+         for r in shard_assign(docs, seed=1).collect()}
+    b = {r.doc_id: (r.shard_id, r.pos_in_shard)
+         for r in shard_assign(docs, seed=2).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > len(a) * 0.8  # a different seed reshuffles nearly all
+
+
+def test_sized_shards_exact(docs):
+    n = docs.count()
+    rows = shard_assign_sized(docs, shard_size=SHARD_SIZE).collect()
+    assert len(rows) == n
+    sizes = Counter(r.shard_id for r in rows)
+    full, last = divmod(n, SHARD_SIZE)
+    for sid in range(full):
+        assert sizes[sid] == SHARD_SIZE
+    if last:
+        assert sizes[full] == last
+    # global positions 0..n-1, each exactly once
+    gpos = sorted(r.shard_id * SHARD_SIZE + r.pos_in_shard for r in rows)
+    assert gpos == list(range(n))
+
+
+def test_sized_matches_global_sort_order(docs):
+    """The two-level rank must equal a literal global sort rank."""
+    from xjs.pipeline.export import shard_key
+
+    keyed = docs.select("doc_id", shard_key(F.col("doc_id")).alias("k"))
+    order = [r.doc_id for r in keyed.orderBy("k", "doc_id").collect()]
+    rows = shard_assign_sized(docs).collect()
+    got = {r.shard_id * SHARD_SIZE + r.pos_in_shard: r.doc_id for r in rows}
+    assert [got[i] for i in range(len(order))] == order
+
+
+def test_sized_wider_bucket_prefix_equivalent(docs):
+    a = sorted(shard_assign_sized(docs, bucket_hex=1).collect())
+    b = sorted(shard_assign_sized(docs, bucket_hex=3).collect())
+    assert a == b
+
+
+def test_write_shards_layout(spark, docs, tmp):
+    write_shards(docs, f"{tmp}/shards", n_shards=8)
+    back = spark.read.parquet(f"{tmp}/shards")
+    assert back.count() == docs.count()
+    # shard membership on disk == the assignment operator's
+    want = {r.doc_id: r.shard_id for r in shard_assign(docs, n_shards=8).collect()}
+    got = {r.doc_id: r.shard_id for r in back.select("doc_id", "shard_id").collect()}
+    assert got == want
+    # one directory per shard
+    disk = {r.shard_id for r in back.select("shard_id").distinct().collect()}
+    assert disk == set(range(8))

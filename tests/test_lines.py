@@ -1,0 +1,83 @@
+"""Line-grain dedup: owner semantics, reassembly fidelity, scale
+shape (text never rides the wide stages)."""
+
+from xjs.pipeline.lines import (
+    duplicated_lines,
+    line_corpus,
+    line_dedup_remove,
+    line_rows,
+)
+
+
+def _mini(spark):
+    rows = [
+        (1, "unique alpha line\nshared banner line\nshort"),
+        (2, "shared banner line\nunique beta line"),
+        (3, "shared banner line\nunique gamma line\nshort"),
+        (4, "only unique content here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_lines_owner_and_counts(spark):
+    d = duplicated_lines(_mini(spark)).collect()
+    assert len(d) == 1  # 'short' is below MIN_CHARS despite 2 copies
+    row = d[0]
+    assert row.n_lines == 3 and row.n_docs == 3
+    # owner = lowest (doc, line_no): doc 1 line 1
+    assert (row.owner_doc, row.owner_line) == (1, 1)
+
+
+def test_remove_keeps_owner_occurrence_only(spark):
+    out = {
+        r.doc_id: r.clean_text
+        for r in line_dedup_remove(_mini(spark)).collect()
+    }
+    assert out[1] == "unique alpha line\nshared banner line\nshort"
+    assert out[2] == "unique beta line"
+    assert out[3] == "unique gamma line\nshort"
+    assert out[4] == "only unique content here"
+
+
+def test_remove_precomputed_dups_table_equivalent(spark):
+    df = _mini(spark)
+    dups = duplicated_lines(df)
+    a = sorted(line_dedup_remove(df).collect())
+    b = sorted(line_dedup_remove(df, dups=dups, broadcast_dups=True).collect())
+    assert a == b
+
+
+def test_clean_lines_are_ordered_subsequence(spark, sf_dir):
+    """Reassembly keeps surviving lines in original order and bytes —
+    split/rejoin must not normalize anything (sf0.001: 500 docs,
+    driver-side check is test-only)."""
+    corpus = line_corpus(spark, sf_dir)
+    joined = corpus.join(line_dedup_remove(corpus), "doc_id")
+    rows = joined.select("doc_id", "text", "clean_text").collect()
+    assert len(rows) == corpus.count()
+    n_trimmed = 0
+    for r in rows:
+        orig = r.text.split("\n")
+        clean_lines = r.clean_text.split("\n") if r.clean_text else []
+        n_trimmed += len(orig) - len(clean_lines)
+        it = iter(orig)
+        assert all(line in it for line in clean_lines), r.doc_id
+    assert n_trimmed > 0  # the injected banner/footers actually came out
+
+
+def test_line_rows_preserves_trailing_empty(spark):
+    df = spark.createDataFrame([(1, "a\nb\n")], "doc_id long, text string")
+    got = [(r.line_no, r.line) for r in line_rows(df).collect()]
+    assert got == [(0, "a"), (1, "b"), (2, "")]
+
+
+def test_no_text_in_wide_stages(spark, sf_dir):
+    """The flagged-position plan (everything before reassembly) must
+    not carry the line text through the exchanges: its aggregate/join
+    inputs project to ids + digest only."""
+    corpus = line_corpus(spark, sf_dir)
+    dups = duplicated_lines(corpus)
+    plan = dups._jdf.queryExecution().executedPlan().toString()
+    # the hash aggregate keys on the digest, never on the raw line
+    assert "line_md5" in plan
+    assert plan.count("Exchange") <= 2  # partial-agg shuffle (+AQE read)

@@ -1,0 +1,186 @@
+"""Deterministic shuffle + shard export — the last stage of a
+training-data pipeline.
+
+After curation the corpus must be (a) globally shuffled so training
+batches are i.i.d.-ish (a crawl is ordered by host and time — terrible
+mixing), and (b) cut into shards trainers can stream.  Both must be
+deterministic (re-running the export bit-reproduces the dataset) and
+driver-free at 10^12 docs.
+
+Two shard assignments, both keyed by a seeded md5 of the doc id so
+the permutation is pseudorandom, stable, and oracle-checkable:
+
+* ``shard_assign`` (hash-mod): shard = 60 bits of the key mod
+  n_shards.  **Zero global coordination** — one hash partition per
+  shard, sizes binomially balanced (at 10^12 docs over 10^5 shards,
+  ±0.03%).  This is the 100 TB default: the only shuffle is the write
+  repartition itself.
+* ``shard_assign_sized`` (exact fixed-size shards): a contiguous
+  global position without a global sort, via the classic two-level
+  rank — docs land in 256 hash buckets (first two hex chars of the
+  key), per-bucket counts (one tiny partial aggregation) turn into
+  cumulative offsets on a 256-row metadata table, and
+  global_pos = bucket_offset + row_number within the bucket.  The
+  only per-row window is partitioned by bucket (corpus/256 per
+  partition; widen the prefix to 3-4 hex chars at larger scale).
+  Matches ``row_number() OVER (ORDER BY key)`` exactly.
+
+``write_shards`` materializes the layout: repartition on shard_id,
+sort within partitions by the shuffle key, one directory per shard —
+each shard's file content is byte-deterministic.
+
+The reference engine (/root/reference, a schema validator) has no
+export stage; this op belongs to the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_SHARDS = 16        # hash-mod query default (sf-sized; production: corpus/shard_size)
+SHARD_SIZE = 64      # sized query default (docs per shard)
+SEED = 42
+_BUCKET_HEX = 2      # 16^2 = 256 rank buckets
+
+
+def shard_key(id_col: Column, seed: int = SEED) -> Column:
+    """Seeded deterministic shuffle key: md5('<id>:<seed>') hex."""
+    return F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+
+
+def _key60(key: Column) -> Column:
+    """First 60 bits of the hex key as a non-negative long (15 hex
+    chars < 2^60 — never overflows, no sign bit)."""
+    return F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = N_SHARDS,
+    seed: int = SEED,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, shard_id, pos_in_shard): hash-mod sharding.  pos_in_shard
+    is the rank of the shuffle key inside the shard — the order
+    ``write_shards``' sortWithinPartitions produces, made explicit so
+    the assignment (not just membership) is oracle-checked."""
+    keyed = df.select(
+        id_col, shard_key(F.col(id_col), seed).alias("_key")
+    ).withColumn("shard_id", (_key60(F.col("_key")) % n_shards).cast("int"))
+    w = Window.partitionBy("shard_id").orderBy("_key", id_col)
+    return keyed.select(
+        id_col,
+        "shard_id",
+        (F.row_number().over(w) - 1).alias("pos_in_shard"),
+    )
+
+
+def shard_assign_sized(
+    df: DataFrame,
+    shard_size: int = SHARD_SIZE,
+    seed: int = SEED,
+    id_col: str = "doc_id",
+    bucket_hex: int = _BUCKET_HEX,
+) -> DataFrame:
+    """(id, shard_id, pos_in_shard): exact ``shard_size``-doc shards
+    (last shard ragged) over the seeded global order — equivalent to
+    ``row_number() OVER (ORDER BY key)`` but computed distributed:
+    bucket counts -> cumulative offsets (metadata-sized) -> per-bucket
+    row_number + offset."""
+    keyed = df.select(
+        id_col, shard_key(F.col(id_col), seed).alias("_key")
+    ).withColumn("_bucket", F.substring("_key", 1, bucket_hex))
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    # <= 16^bucket_hex rows: a metadata table, same class as the
+    # checkpoint manifest — the single-partition window is fine.
+    woff = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    wb = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    pos = (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .select(
+            id_col,
+            (F.col("_off") + F.row_number().over(wb) - 1).alias("_pos"),
+        )
+    )
+    return pos.select(
+        id_col,
+        F.floor(F.col("_pos") / shard_size).cast("int").alias("shard_id"),
+        (F.col("_pos") % shard_size).cast("int").alias("pos_in_shard"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = N_SHARDS,
+    seed: int = SEED,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize hash-mod shards: one directory per shard_id, rows
+    sorted by the shuffle key within each shard.  repartition(n, col)
+    hash-partitions so a writer task owns whole shards; partitionBy
+    splits the directories."""
+    keyed = df.withColumn(
+        "_key", shard_key(F.col(id_col), seed)
+    ).withColumn(
+        "shard_id", (_key60(F.col("_key")) % n_shards).cast("int")
+    )
+    (
+        keyed.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_assign(_docs(spark, sf_dir))
+
+
+def q_export_shards_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_assign_sized(_docs(spark, sf_dir))
+
+
+def _key_sql(seed: int = SEED) -> str:
+    return f"md5(doc_id::VARCHAR || ':{seed}')"
+
+
+def oracle_export_shards_sql() -> str:
+    k = _key_sql()
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, {k} AS key,
+           (('0x' || substr({k}, 1, 15))::BIGINT % {N_SHARDS})::INT AS shard_id
+    FROM documents
+)
+SELECT doc_id, shard_id,
+       (row_number() OVER (PARTITION BY shard_id ORDER BY key, doc_id) - 1)::INT
+           AS pos_in_shard
+FROM keyed
+"""
+
+
+def oracle_export_shards_sized_sql() -> str:
+    k = _key_sql()
+    return f"""
+WITH pos AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY {k}, doc_id) - 1 AS p
+    FROM documents
+)
+SELECT doc_id, (p // {SHARD_SIZE})::INT AS shard_id,
+       (p % {SHARD_SIZE})::INT AS pos_in_shard
+FROM pos
+"""

@@ -1,0 +1,243 @@
+"""Line-grain corpus deduplication (the CCNet / RefinedWeb shape).
+
+Web pages repeat whole LINES across documents — navigation bars,
+cookie banners, copyright footers, share buttons — and the standard
+pre-training cleanup (CCNet; RefinedWeb's "line-wise corrections")
+removes every occurrence of a line duplicated across the corpus
+except one canonical owner.  This is a different grain from the
+gram-window ops already in the repo: boilerplate.py flags *token
+windows* frequent within a (domain) group, substring spans merge
+*overlapping windows* — line dedup keys on the exact line string,
+corpus-wide, and reassembles the page with the surviving lines in
+place.
+
+Scale shape (the part that matters at 100 TB):
+
+* line cutting is a **narrow Catalyst projection** —
+  ``posexplode(split(text, '\\n', -1))`` fused into the scan; only
+  ``(doc_id, line_no, md5(line))`` leaves the map stage, never line
+  text.
+* the duplicate table comes from ONE hash aggregation on the line
+  digest with map-side partials — a line appearing on every page
+  (cookie banner) is absorbed map-side, so the mega-hot key reaches
+  the shuffle as one partial row per map task, not one row per page.
+* the owner join sends id-only triples against the aggregated
+  duplicate table (already partitioned on the digest by the groupBy,
+  so the join typically reuses that exchange).  The hot digest fans
+  out on the probe side only, bounded by lines-per-doc; pass
+  ``broadcast_dups=True`` when the duplicate table fits (it usually
+  does: only lines with corpus count >= min_count survive the HAVING).
+* reassembly mirrors substring_remove: removal positions aggregate to
+  ONE small int array per affected doc, left-joined on the unique doc
+  id; the kept-line filter is a narrow per-row array op — **the corpus
+  text is never shuffled**.
+
+The reference engine (/root/reference, a schema validator) has no
+corpus operators; this op belongs to the training-data-pipeline
+mandate.  All hashing is md5 so every stage has an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MIN_COUNT = 2        # corpus occurrences before a line is "duplicated"
+MIN_CHARS = 6        # shorter lines are never removed (blank lines,
+                     # list bullets — CCNet keeps sub-threshold lines)
+_OWNER_ENC = 1_000_000  # owner key = doc_id * ENC + line_no; holds while
+                        # docs stay under 1M lines (a 100 TB corpus doc cap
+                        # would raise this constant, not the algorithm)
+
+
+def line_rows(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, line_no, line): 0-based line explosion, trailing empties
+    kept (split limit -1) so reassembly is byte-faithful."""
+    return df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def _candidates(df: DataFrame, id_col: str, text_col: str,
+                min_chars: int) -> DataFrame:
+    """(id, line_no, line_md5) for dedup-eligible lines — text dropped
+    before anything wide happens."""
+    return (
+        line_rows(df, id_col, text_col)
+        .filter(F.length("line") >= min_chars)
+        .select(id_col, "line_no", F.md5("line").alias("line_md5"))
+    )
+
+
+def duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = MIN_COUNT,
+    min_chars: int = MIN_CHARS,
+) -> DataFrame:
+    """(line_md5, n_lines, n_docs, owner_doc, owner_line): corpus-wide
+    duplicated lines with their canonical owner occurrence (lowest
+    (doc, line_no) — the occurrence removal keeps).  One hash
+    aggregation; the owner is the min of an encoded (doc, line) key so
+    the same arithmetic runs in the DuckDB oracle."""
+    enc = F.col(id_col).cast("long") * _OWNER_ENC + F.col("line_no")
+    return (
+        _candidates(df, id_col, text_col, min_chars)
+        .groupBy("line_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(enc).alias("_ok"),
+        )
+        .filter(F.col("n_lines") >= min_count)
+        .select(
+            "line_md5",
+            "n_lines",
+            "n_docs",
+            F.floor(F.col("_ok") / _OWNER_ENC).cast("long").alias("owner_doc"),
+            (F.col("_ok") % _OWNER_ENC).cast("int").alias("owner_line"),
+        )
+    )
+
+
+def line_dedup_remove(
+    df: DataFrame,
+    dups: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = MIN_COUNT,
+    min_chars: int = MIN_CHARS,
+    broadcast_dups: bool = False,
+) -> DataFrame:
+    """(id, clean_text): every non-owner occurrence of a duplicated
+    line removed, remaining lines rejoined with '\\n' in original
+    order.  ``dups`` accepts a precomputed/persisted duplicated_lines
+    table (the two-step production shape, like simhash_signatures);
+    omitted, it is derived from ``df`` in the same plan."""
+    if dups is None:
+        dups = duplicated_lines(df, id_col, text_col, min_count, min_chars)
+    dup_side = dups.select("line_md5", "owner_doc", "owner_line")
+    if broadcast_dups:
+        dup_side = F.broadcast(dup_side)
+    flagged = (
+        _candidates(df, id_col, text_col, min_chars)
+        .join(dup_side, "line_md5")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("owner_doc"))
+                & (F.col("line_no") == F.col("owner_line"))
+            )
+        )
+        .select(id_col, "line_no")
+    )
+    removed = flagged.groupBy(id_col).agg(
+        F.collect_list("line_no").alias("_rm")
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.split(F.col(text_col), "\n", -1),
+        lambda line, i: ~F.array_contains(rm, i),
+    )
+    return df.join(removed, id_col, "left").select(
+        F.col(id_col), F.concat_ws("\n", kept).alias("clean_text")
+    )
+
+
+# --------------------------------------------------------------------------
+# multi-line corpus: documents.parquet has single-line texts, so the
+# fixture derives pages with a body split into lines plus two injected
+# boilerplate lines — one per-domain footer (7 families) and one
+# corpus-wide banner (the mega-hot key) — mirrored exactly in the
+# DuckDB CTE so the oracle has known answers.
+# --------------------------------------------------------------------------
+
+_BANNER = "copyright notice all rights reserved"
+_FOOTER = "footer domain "
+
+
+def line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    body = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+    txt = F.concat(
+        body,
+        F.lit("\n" + _BANNER + "\n" + _FOOTER),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select("doc_id", txt.alias("text"))
+
+
+DUCKDB_LINE_CORPUS_CTE = f"""
+line_corpus AS (
+    SELECT doc_id,
+           replace(text, ' value ', chr(10))
+           || chr(10) || '{_BANNER}'
+           || chr(10) || '{_FOOTER}' || (doc_id % 7)::VARCHAR AS text
+    FROM documents
+)
+"""
+
+
+def q_line_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicated_lines(line_corpus(spark, sf_dir))
+
+
+def q_line_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup_remove(line_corpus(spark, sf_dir))
+
+
+def _lines_ctes() -> str:
+    return f"""
+WITH {DUCKDB_LINE_CORPUS_CTE.strip()},
+lines AS (
+    SELECT doc_id, i - 1 AS line_no, l[i] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM line_corpus) t,
+         unnest(range(1, len(l) + 1)) AS r(i)
+),
+cand AS (
+    SELECT doc_id, line_no, md5(line) AS line_md5
+    FROM lines WHERE length(line) >= {MIN_CHARS}
+),
+dups AS (
+    SELECT line_md5, COUNT(*) AS n_lines, COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id * {_OWNER_ENC} + line_no) AS ok
+    FROM cand GROUP BY 1 HAVING COUNT(*) >= {MIN_COUNT}
+)
+"""
+
+
+def oracle_line_dedup_lines_sql() -> str:
+    return _lines_ctes() + f"""
+SELECT line_md5, n_lines, n_docs,
+       ok // {_OWNER_ENC} AS owner_doc,
+       (ok % {_OWNER_ENC})::INT AS owner_line
+FROM dups
+"""
+
+
+def oracle_line_dedup_remove_sql() -> str:
+    return _lines_ctes() + f"""
+, flagged AS (
+    SELECT c.doc_id, c.line_no
+    FROM cand c JOIN dups d USING (line_md5)
+    WHERE NOT (c.doc_id = d.ok // {_OWNER_ENC}
+               AND c.line_no = d.ok % {_OWNER_ENC})
+)
+SELECT lc.doc_id, COALESCE(k.clean_text, '') AS clean_text
+FROM line_corpus lc
+LEFT JOIN (
+    SELECT l.doc_id,
+           string_agg(l.line, chr(10) ORDER BY l.line_no) AS clean_text
+    FROM lines l
+    LEFT JOIN flagged f ON f.doc_id = l.doc_id AND f.line_no = l.line_no
+    WHERE f.doc_id IS NULL
+    GROUP BY l.doc_id
+) k USING (doc_id)
+"""
