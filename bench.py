@@ -326,6 +326,56 @@ def build_queries(spark, sf_dir: str, factor: int):
 
         return token_count_real(wp().select("doc_id", "text"))
 
+    # line-grain corpus (multi-line pages) + stored detection output,
+    # mirroring the boilerplate edge/flagged pattern: the detect row
+    # prices the one hash aggregation over the corpus, the remove row
+    # prices the cleaning increment over the STORED duplicate table.
+    from xjs.pipeline import lines as lines_mod
+
+    line_path = f"{wp_path}-lines-v{lines_mod.LINE_SCALE_VERSION}"
+    if not os.path.exists(os.path.join(line_path, "_SUCCESS")):
+        lines_mod.line_page_transform(
+            spark.read.parquet(wp_path).select("doc_id", "text")
+        ).write.mode("overwrite").parquet(line_path)
+    line_dups_path = line_path + "-dups"
+    if not os.path.exists(os.path.join(line_dups_path, "_SUCCESS")):
+        lines_mod.duplicated_lines(
+            spark.read.parquet(line_path)
+        ).write.mode("overwrite").parquet(line_dups_path)
+
+    def q_line_dedup_detect():
+        # force(): ends in a projection of aggregate outputs — count()
+        # would prune the owner min() out of the plan
+        return force(lines_mod.duplicated_lines(spark.read.parquet(line_path)))
+
+    def q_line_dedup_remove():
+        corpus = spark.read.parquet(line_path)
+        dups = spark.read.parquet(line_dups_path)
+        return force(lines_mod.line_dedup_remove(corpus, dups=dups))
+
+    def q_export_shards():
+        # hash-mod sharding at 64 shards (~n_docs/64 per shard): key
+        # hashing + the write repartition's shuffle + per-shard rank
+        from xjs.pipeline import export as export_mod
+
+        return force(
+            export_mod.shard_assign(
+                spark.read.parquet(wp_path).select("doc_id"), n_shards=64
+            )
+        )
+
+    def q_export_shards_sized():
+        # exact fixed-size shards: the two-level global rank (the
+        # distributed ORDER BY equivalent) at 16384 docs/shard
+        from xjs.pipeline import export as export_mod
+
+        return force(
+            export_mod.shard_assign_sized(
+                spark.read.parquet(wp_path).select("doc_id"),
+                shard_size=16384,
+            )
+        )
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -368,6 +418,10 @@ def build_queries(spark, sf_dir: str, factor: int):
         "substring_spans": q_substring_spans,
         "text_model_artifact": q_model_artifact,
         "token_count_real": q_token_count_real,
+        "line_dedup_detect": q_line_dedup_detect,
+        "line_dedup_remove": q_line_dedup_remove,
+        "export_shards": q_export_shards,
+        "export_shards_sized": q_export_shards_sized,
         "dynamic_json_udf": q_dynamic_udf,
     }
 

@@ -50,7 +50,7 @@ spark = (
     .getOrCreate()
 )
 mode = {mode!r}
-if mode in ("scan", "pipeline", "dedup"):
+if mode in ("scan", "pipeline", "dedup", "export"):
     sys.path.insert(0, {repo!r} + "")
     from bench import materialize
     wp_path = materialize(spark, {sf_dir!r}, {factor})
@@ -71,6 +71,20 @@ if mode == "dedup":
 
     def measured():
         return near_duplicate_pipeline(docs).count()
+elif mode == "export":
+    # shuffle-heavy shape: exact fixed-size shard assignment = the
+    # distributed global-rank (two-level: bucket counts -> metadata
+    # offsets -> per-bucket rank windows).  force() keeps the rank
+    # columns in the counted plan (bench.py honesty fix)
+    from bench import force
+    from xjs.pipeline.export import shard_assign_sized
+
+    ids = wp.select("doc_id")
+    n_d = ids.count()  # warm-up
+
+    def measured():
+        force(shard_assign_sized(ids, shard_size=65536)).count()
+        return 0
 elif mode == "pipeline":
     # pipeline-op shape: boilerplate detection — the Arrow gram cutter
     # (compute-bound mapInPandas, needs executorEnv.PYTHONPATH on the
@@ -137,6 +151,7 @@ def one_experiment(sf_dir: str, factor: int, mode: str) -> dict:
     job = {
         "pipeline": "boilerplate-gram pipeline op (Arrow cutter + partial-agg shuffle)",
         "dedup": "minhash near-dup pipeline (exact-collapse + capped band join)",
+        "export": "exact fixed-size shard assignment (two-level global rank)",
     }.get(mode, f"flagship violations pass ({mode})")
     out = {
         "job": job,
@@ -170,12 +185,14 @@ def main() -> None:
     max_attempts = int(os.environ.get("XJS_SCALE_ATTEMPTS", "3"))
     target = 0.8
 
-    shapes = ("derive", "scan", "pipeline", "dedup")
+    shapes = ("derive", "scan", "pipeline", "dedup", "export")
     factors = {
         "derive": int(os.environ.get("XJS_SCALE_FACTOR_DERIVE", "1000")),
         "scan": int(os.environ.get("XJS_SCALE_FACTOR_SCAN", "4000")),
         "pipeline": int(os.environ.get("XJS_SCALE_FACTOR_PIPELINE", "1000")),
         "dedup": int(os.environ.get("XJS_SCALE_FACTOR_DEDUP", "16000")),
+        # ids-only table reuses the scan shape's materialized parquet
+        "export": int(os.environ.get("XJS_SCALE_FACTOR_EXPORT", "4000")),
     }
     # XJS_SCALE_SHAPES=dedup re-measures one noisy shape; the rest come
     # from BENCH/scaling_best.json (a shape not measured AND not stored
@@ -243,13 +260,14 @@ def main() -> None:
     best_path.parent.mkdir(exist_ok=True)
     best_path.write_text(json.dumps(
         {s: best[s] for s in shapes}, indent=1))
-    derive, scan, pipe, dedup = (best["derive"], best["scan"],
-                                 best["pipeline"], best["dedup"])
+    derive, scan, pipe, dedup, exp = (best["derive"], best["scan"],
+                                      best["pipeline"], best["dedup"],
+                                      best["export"])
     ambient = f"{best['loadavg_before']} -> {best['loadavg_after']}"
     # headline = the compute-shape (engine behavior); the scan shape
     # shares ONE local disk/page cache across all executors, which a
     # real cluster does not — reported as a secondary data point
-    result = {"experiments": [derive, scan, pipe, dedup],
+    result = {"experiments": [derive, scan, pipe, dedup, exp],
               "headline_efficiency": derive["scaling_efficiency"],
               "pass": derive["pass"],
               "ambient_loadavg": ambient}
@@ -258,6 +276,7 @@ def main() -> None:
     dlo, dhi, deff = derive["N_executors"], derive["4N_executors"], derive["scaling_efficiency"]
     plo, phi, peff = pipe["N_executors"], pipe["4N_executors"], pipe["scaling_efficiency"]
     mlo, mhi, meff = dedup["N_executors"], dedup["4N_executors"], dedup["scaling_efficiency"]
+    elo, ehi, eeff = exp["N_executors"], exp["4N_executors"], exp["scaling_efficiency"]
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -332,6 +351,19 @@ floor, and it is published for completeness:
 **measured ratio = {meff}** (diagnostic row — the 0.8 gate applies to
 shapes A-C; this ratio is the documented floor artifact, compute-only
 ~0.97 after subtracting it)
+
+**E. exact fixed-size shard export (r5)** — the distributed
+global-rank: seeded md5 shuffle key, 256-bucket counts → metadata
+offsets → per-bucket rank windows, over {elo['n_docs']:,} doc ids
+(the shuffle-heaviest shape in the suite: a full sort-equivalent of
+every row):
+
+| config | cores | wall sec | docs/sec |
+|---|---|---|---|
+| local-cluster[1,4] (N)   | 4  | {elo['sec']} | {elo['docs_per_sec']:,} |
+| local-cluster[4,4] (4N)  | 16 | {ehi['sec']} | {ehi['docs_per_sec']:,} |
+
+**efficiency = {eeff}** (target ≥ 0.8: {"PASS" if eeff >= 0.8 else "FAIL"})
 
 Shape B is the headline metric: it isolates ENGINE scaling.  Shape A
 funnels all executors through one local disk + page cache, a

@@ -185,6 +185,28 @@ line_corpus AS (
 """
 
 
+#: bumping this rebuilds the bench's materialized line corpus
+LINE_SCALE_VERSION = 1
+
+
+def line_page_transform(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Derive multi-line pages from single-line docs for bench/fixture
+    use: body lines cut from the text (duplicated wherever the source
+    text is), ONE unique line per doc, a corpus-wide banner (the
+    mega-hot line) and a 7-family footer — the line-duplication
+    profile of real crawled pages (most lines shared, some unique)."""
+    body = F.replace(F.col(text_col), F.lit(" value "), F.lit("\n"))
+    txt = F.concat(
+        body,
+        F.lit("\nrow "),
+        F.col(id_col).cast("string"),
+        F.lit("\n" + _BANNER + "\n" + _FOOTER),
+        (F.col(id_col) % 7).cast("string"),
+    )
+    return df.select(id_col, txt.alias(text_col))
+
+
 def q_line_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_lines(line_corpus(spark, sf_dir))
 
