@@ -557,3 +557,40 @@ def test_idempotent_batch_write_replay(spark, sf_dir, tmp):
     assert got.select("batch_id").distinct().count() == 2
     per_batch = got.groupBy("batch_id").count().collect()
     assert all(r["count"] == df.count() for r in per_batch)
+
+
+def test_streaming_line_clean_equals_batch(spark, sf_dir, tmp):
+    """Line-grain dedup cleaning on a stream (foreachBatch against a
+    batch-detected duplicate-line snapshot) == the batch removal over
+    the same corpus, including owner lines kept across micro-batch
+    boundaries."""
+    from xjs.pipeline.lines import (
+        duplicated_lines,
+        line_corpus,
+        line_dedup_remove,
+    )
+    from xjs.streaming import run_line_clean_availablenow
+
+    corpus = line_corpus(spark, sf_dir)
+    dups = duplicated_lines(corpus)
+
+    corpus.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/in/b1")
+    corpus.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/in/b2")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")  # force >1 micro-batch
+        .parquet(f"{tmp}/in")
+    )
+    run_line_clean_availablenow(stream, dups, f"{tmp}/out", f"{tmp}/ckpt")
+
+    got = spark.read.parquet(f"{tmp}/out").drop("batch_id")
+    expected = line_dedup_remove(corpus, dups=dups)
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected.select(got.columns)).count() == 0
+    assert expected.select(got.columns).exceptAll(got).count() == 0
+    # the corpus-wide banner survives in exactly one doc
+    n_banner = got.filter(
+        F.col("clean_text").contains("copyright notice all rights reserved")
+    ).count()
+    assert n_banner == 1

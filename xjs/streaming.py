@@ -395,6 +395,47 @@ def run_boilerplate_clean_availablenow(
     q.awaitTermination()
 
 
+def run_line_clean_availablenow(
+    stream_df: DataFrame,
+    dups: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Streaming twin of line-grain dedup cleaning (pipeline.lines).
+
+    Duplicate detection needs corpus-level line counts, so — like the
+    boilerplate twin and the drift baseline — the duplicate-line table
+    comes from a BATCH ``duplicated_lines`` run and is held fixed
+    while the stream applies per-doc consequences: each micro-batch
+    routes through ``line_dedup_remove`` (the identical batch code
+    path) with the snapshot broadcast.  Owner occurrences named by the
+    snapshot keep their line whichever micro-batch they arrive in;
+    stateless given the snapshot, so no watermark.  Output goes
+    through ``idempotent_batch_write`` so at-least-once replays
+    overwrite instead of appending."""
+    from xjs.pipeline.lines import line_dedup_remove
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_batch_write(
+            line_dedup_remove(
+                batch_df, dups=dups, id_col=id_col, text_col=text_col,
+                broadcast_dups=True,
+            ),
+            out_path,
+            batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
