@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": incremental.q_dedup_incremental,
         "line_dedup_lines": lines.q_line_dedup_lines,
         "line_dedup_remove": lines.q_line_dedup_remove,
+        "line_dedup_incremental": lines.q_line_dedup_incremental,
         "export_shards": export.q_export_shards,
         "export_shards_sized": export.q_export_shards_sized,
     }
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": incremental.oracle_dedup_incremental_sql(),
         "line_dedup_lines": lines.oracle_line_dedup_lines_sql(),
         "line_dedup_remove": lines.oracle_line_dedup_remove_sql(),
+        "line_dedup_incremental": lines.oracle_line_dedup_incremental_sql(),
         "export_shards": export.oracle_export_shards_sql(),
         "export_shards_sized": export.oracle_export_shards_sized_sql(),
         # --- new in round 3 ---

@@ -81,3 +81,80 @@ def test_no_text_in_wide_stages(spark, sf_dir):
     # the hash aggregate keys on the digest, never on the raw line
     assert "line_md5" in plan
     assert plan.count("Exchange") <= 2  # partial-agg shuffle (+AQE read)
+
+
+# --- incremental (cross-run) state ---
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xjs.pipeline.lines import (
+    duplicated_from_state,
+    line_corpus,
+    line_state_update,
+)
+
+
+@pytest.fixture()
+def tmp():
+    d = tempfile.mkdtemp(prefix="xjs-lines-", dir="/root/repo/.tmp")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _fold(spark, corpus, base, n_slices=3):
+    prev = None
+    for day in range(n_slices):
+        out = os.path.join(base, f"day{day}")
+        line_state_update(
+            spark, corpus.filter(F.col("doc_id") % n_slices == day), out, prev
+        )
+        prev = out
+    return prev
+
+
+def test_incremental_bootstrap_equals_batch(spark, sf_dir, tmp):
+    corpus = line_corpus(spark, sf_dir)
+    line_state_update(spark, corpus, f"{tmp}/all", None)
+    got = sorted(duplicated_from_state(spark, f"{tmp}/all").collect())
+    want = sorted(duplicated_lines(corpus).collect())
+    assert got == want
+
+
+def test_incremental_fold_equals_full_recompute(spark, sf_dir, tmp):
+    corpus = line_corpus(spark, sf_dir)
+    final = _fold(spark, corpus, tmp)
+    got = sorted(duplicated_from_state(spark, final).collect())
+    want = sorted(duplicated_lines(corpus).collect())
+    assert got == want and len(got) > 0
+
+
+def test_incremental_replay_is_noop(spark, sf_dir, tmp):
+    corpus = line_corpus(spark, sf_dir)
+    out = f"{tmp}/day0"
+    slice0 = corpus.filter(F.col("doc_id") % 3 == 0)
+    line_state_update(spark, slice0, out, None)
+    before = sorted(spark.read.parquet(out).collect())
+    # a re-submitted run with DIFFERENT input must not double-apply
+    line_state_update(spark, corpus, out, None)
+    assert sorted(spark.read.parquet(out).collect()) == before
+
+
+def test_retro_clean_any_slice_equals_batch_restriction(spark, sf_dir, tmp):
+    """Cleaning a slice against the FINAL state == the batch removal
+    over the full corpus restricted to that slice's docs."""
+    corpus = line_corpus(spark, sf_dir)
+    final = _fold(spark, corpus, tmp)
+    dups = duplicated_from_state(spark, final)
+    batch = line_dedup_remove(corpus)
+    for day in range(3):
+        sl = corpus.filter(F.col("doc_id") % 3 == day)
+        got = sorted(line_dedup_remove(sl, dups=dups).collect())
+        want = sorted(
+            batch.join(sl.select("doc_id"), "doc_id").collect()
+        )
+        assert got == want

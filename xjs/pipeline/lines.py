@@ -185,6 +185,118 @@ line_corpus AS (
 """
 
 
+# --------------------------------------------------------------------------
+# incremental (cross-run) line-dedup state: fold a NEW corpus slice into
+# a persisted per-line stats table without rescanning historical text —
+# the daily-ingestion production shape (same mandate as
+# xjs.pipeline.incremental for simhash components).
+#
+# State: one parquet table (line_md5, n_lines, n_docs, ok) where ok is
+# the encoded min-(doc, line_no) owner.  All three merge exactly under
+# slice union: counts SUM (docs are disjoint across slices — each doc
+# is ingested exactly once, so per-slice distinct-doc counts add),
+# owners MIN.  Hence after any slice sequence the state equals
+# duplicated_lines() over the full corpus — the oracle's claim — and
+# cleaning any slice against the final state equals the batch removal
+# restricted to that slice (removal of a doc depends only on the
+# duplicate set + owner identity, both state-derived).
+#
+# 100 TB shape: each run touches the new slice's text once (the narrow
+# line cut); the merge is a partial-agg groupBy over state-size +
+# slice-distinct-line rows, all id/digest-width — historical text is
+# never re-read.  Replay-safe: a complete (_SUCCESS) state dir is never
+# recomputed.
+# --------------------------------------------------------------------------
+
+def _slice_line_stats(df: DataFrame, id_col: str, text_col: str,
+                      min_chars: int) -> DataFrame:
+    enc = F.col(id_col).cast("long") * _OWNER_ENC + F.col("line_no")
+    return (
+        _candidates(df, id_col, text_col, min_chars)
+        .groupBy("line_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(enc).alias("ok"),
+        )
+    )
+
+
+def line_state_update(
+    spark: SparkSession,
+    new_df: DataFrame,
+    state_out: str,
+    state_in: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = MIN_CHARS,
+) -> None:
+    """Fold a new corpus slice (doc_id, text) into line-dedup state.
+    ``state_in=None`` bootstraps.  No-op if ``state_out`` is already
+    complete (kill/re-submit safe).  Slices must carry disjoint doc
+    ids (each doc ingested exactly once) for n_docs to merge exactly."""
+    import os
+
+    if os.path.exists(os.path.join(state_out, "_SUCCESS")):
+        return
+    fresh = _slice_line_stats(new_df, id_col, text_col, min_chars)
+    if state_in is not None:
+        old = spark.read.parquet(state_in)
+        fresh = old.unionByName(fresh)
+    merged = fresh.groupBy("line_md5").agg(
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_docs").alias("n_docs"),
+        F.min("ok").alias("ok"),
+    )
+    merged.write.mode("overwrite").parquet(state_out)
+
+
+def duplicated_from_state(
+    spark: SparkSession, state_dir: str, min_count: int = MIN_COUNT
+) -> DataFrame:
+    """The ``duplicated_lines`` answer over everything folded so far,
+    computed from state alone (same schema, drop-in for
+    ``line_dedup_remove(dups=...)``)."""
+    st = spark.read.parquet(state_dir)
+    return st.filter(F.col("n_lines") >= min_count).select(
+        "line_md5",
+        "n_lines",
+        "n_docs",
+        F.floor(F.col("ok") / _OWNER_ENC).cast("long").alias("owner_doc"),
+        (F.col("ok") % _OWNER_ENC).cast("int").alias("owner_line"),
+    )
+
+
+def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the line corpus as three interleaved daily slices
+    (doc_id % 3) through incremental state; the oracle recomputes the
+    duplicate-line table from the full corpus in one batch."""
+    import os
+    import shutil
+    import tempfile
+
+    corpus = line_corpus(spark, sf_dir)
+    base = tempfile.mkdtemp(
+        prefix="incr-lines-", dir=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+    )
+    try:
+        prev = None
+        for day in range(3):
+            out = os.path.join(base, f"day{day}")
+            line_state_update(
+                spark, corpus.filter(F.col("doc_id") % 3 == day), out, prev
+            )
+            prev = out
+        return duplicated_from_state(spark, prev).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_line_dedup_incremental_sql() -> str:
+    return oracle_line_dedup_lines_sql()
+
+
 #: bumping this rebuilds the bench's materialized line corpus
 LINE_SCALE_VERSION = 1
 
