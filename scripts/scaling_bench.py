@@ -222,7 +222,7 @@ def main() -> None:
         out["loadavg_after"] = round(os.getloadavg()[0], 2)
         return out
 
-    gate_shapes = ("derive", "scan", "pipeline")  # dedup = diagnostic
+    gate_shapes = ("derive", "scan", "pipeline", "export")  # dedup = diagnostic
     # retry only on shapes actually being RE-MEASURED (ADVICE r3): a
     # stored below-target shape outside run_shapes can't improve, so
     # gating on it would burn max_attempts re-running the others
@@ -349,8 +349,8 @@ floor, and it is published for completeness:
 | local-cluster[4,4] (4N)  | 16 | {mhi['sec']} | {mhi['docs_per_sec']:,} |
 
 **measured ratio = {meff}** (diagnostic row — the 0.8 gate applies to
-shapes A-C; this ratio is the documented floor artifact, compute-only
-~0.97 after subtracting it)
+shapes A-C and E; this ratio is the documented floor artifact,
+compute-only ~0.97 after subtracting it)
 
 **E. exact fixed-size shard export (r5)** — the distributed
 global-rank: seeded md5 shuffle key, 256-bucket counts → metadata
