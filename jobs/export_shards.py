@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: deterministic shuffle + shard export — the
+dataset-materialization stage a training pipeline ends with.
+
+    <out>/shards/shard_id=N/   full corpus rows, one directory per
+                               shard, sorted by the seeded shuffle key
+    <out>/manifest/            shard_id, n_docs, min_key, max_key
+                               (computed from the WRITTEN data, so the
+                               manifest doubles as a sink validation)
+
+Example:
+
+    spark-submit --master 'local[8]' --py-files dist/xjs.zip \
+        jobs/export_shards.py --input /root/testdata/sf0.001 \
+        --out /tmp/xjs-shards --n-shards 8 --seed 42
+
+Scale shape: hash-mod sharding is ONE exchange (the write repartition)
+plus a per-shard write sort — zero global coordination; shard sizes
+are binomially balanced (±0.03% at 10^12 docs over 10^5 shards).
+Re-running with the same seed bit-reproduces the dataset; a new seed
+is a fresh permutation.  The assignment operator is oracle-checked
+(driver rows export_shards / export_shards_sized); the job adds
+orchestration, the manifest, and one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="sf dir with documents.parquet")
+    ap.add_argument("--out", required=True, help="output dir")
+    ap.add_argument("--n-shards", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("xjs-export-shards").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from xjs.pipeline.export import write_shards
+
+    t0 = time.time()
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    write_shards(docs, f"{args.out}/shards", args.n_shards, args.seed)
+
+    # manifest from the WRITTEN data: validates the sink and gives
+    # trainers per-shard row counts + key ranges
+    back = spark.read.parquet(f"{args.out}/shards")
+    manifest = back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_key").alias("min_key"),
+        F.max("_key").alias("max_key"),
+    )
+    manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
+
+    m = spark.read.parquet(f"{args.out}/manifest")
+    sizes = [r["n_docs"] for r in m.collect()]  # n_shards rows — metadata
+    print(
+        json.dumps(
+            {
+                "job": "export_shards",
+                "n_docs": int(sum(sizes)),
+                "n_shards": len(sizes),
+                "min_shard": int(min(sizes)),
+                "max_shard": int(max(sizes)),
+                "seed": args.seed,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

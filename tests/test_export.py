@@ -109,3 +109,56 @@ def test_write_shards_layout(spark, docs, tmp):
     # one directory per shard
     disk = {r.shard_id for r in back.select("shard_id").distinct().collect()}
     assert disk == set(range(8))
+
+
+def test_export_job_spark_submit_deterministic(spark, tmp):
+    """spark-submit e2e of the export job: shards + manifest land,
+    every doc appears exactly once, membership matches the assignment
+    operator, and a second run bit-reproduces the shard contents."""
+    import json
+    import os
+    import subprocess
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+
+    def run(out):
+        proc = subprocess.run(
+            [
+                "/opt/spark/bin/spark-submit",
+                "--master", "local[4]",
+                "--py-files", os.path.join(REPO, "dist", "xjs.zip"),
+                os.path.join(REPO, "jobs", "export_shards.py"),
+                "--input", "/root/testdata/sf0.001",
+                "--out", out,
+                "--n-shards", "8",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    s1 = run(f"{tmp}/run1")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    assert s1["n_docs"] == n and s1["n_shards"] == 8
+    assert os.path.exists(f"{tmp}/run1/manifest/_SUCCESS")
+
+    back = spark.read.parquet(f"{tmp}/run1/shards")
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    got = {r.doc_id: r.shard_id for r in back.select("doc_id", "shard_id").collect()}
+    want = {r.doc_id: r.shard_id
+            for r in shard_assign(docs.select("doc_id"), n_shards=8).collect()}
+    assert got == want
+
+    s2 = run(f"{tmp}/run2")
+    assert s2["n_docs"] == s1["n_docs"]
+    a = sorted(spark.read.parquet(f"{tmp}/run1/shards")
+               .select("doc_id", "shard_id", "_key").collect())
+    b = sorted(spark.read.parquet(f"{tmp}/run2/shards")
+               .select("doc_id", "shard_id", "_key").collect())
+    assert a == b
