@@ -78,3 +78,24 @@ def test_pii_regex_parity_spark_vs_duckdb(spark):
             assert (g["n_email"], g["n_ipv4"], g["n_phone"], g["redacted_hash"]) == w
 
     run()
+
+
+def test_prefilter_equivalence(spark, sf_dir):
+    """The marker-guarded scan (prefilter=True, the default) must be
+    row-identical to the unguarded reference on a corpus that mixes
+    clean docs with every injected PII class."""
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.pii import _inject_pii, pii_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id", _inject_pii(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    a = pii_scan(injected, prefilter=True)
+    b = pii_scan(injected, prefilter=False)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # guards actually skip something AND actually fire somewhere
+    n_pii = a.filter(F.col("pii_total") > 0).count()
+    assert 0 < n_pii < docs.count()

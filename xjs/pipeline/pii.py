@@ -54,15 +54,52 @@ def redact(text: Column) -> Column:
     return out
 
 
-def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, per-pattern counts, pii_total, redacted_len, redacted_hash)."""
+#: cheap literal/class markers a match REQUIRES: every pattern's regex
+#: contains the literal '@' (email) or at least one digit (ipv4,
+#: phone), so a doc without the marker provably has zero matches and
+#: the expensive pass can be skipped.  Markers are checked against the
+#: ORIGINAL text; replacements introduce neither '@' nor digits, so
+#: the guard stays sound across the sequential redaction chain.
+_GUARDS = {"email": "at", "ipv4": "digit", "phone": "digit"}
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefilter: bool = True,
+) -> DataFrame:
+    """(id, per-pattern counts, pii_total, redacted_len, redacted_hash).
+
+    ``prefilter=True`` (default) short-circuits each regex pass behind
+    its marker check — ``contains('@')`` is a plain substring scan and
+    ``rlike('[0-9]')`` early-exits at the first digit, both far
+    cheaper than the full pattern automaton.  Results are identical
+    either way (the oracle row runs against this default); the flag
+    exists so the equivalence is testable."""
     t = F.col(text_col)
-    counts = pii_counts(t)
+    if not prefilter:
+        counts = pii_counts(t)
+        red = redact(t)
+    else:
+        has = {
+            "at": t.contains("@"),
+            "digit": t.rlike("[0-9]"),
+        }
+        counts = [
+            F.when(has[_GUARDS[name]], F.regexp_count(t, F.lit(pat)))
+            .otherwise(0)
+            .alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ]
+        # any marker -> full sequential chain; no marker (the common
+        # clean-doc case) -> the text unchanged, zero regex passes
+        red = F.when(has["at"] | has["digit"], redact(t)).otherwise(t)
     total = None
     for c in [F.col(f"n_{name}") for name, _, _ in PII_PATTERNS]:
         total = c if total is None else total + c
     return df.select(
-        F.col(id_col), *counts, redact(t).alias("_red")
+        F.col(id_col), *counts, red.alias("_red")
     ).select(
         id_col,
         *[f"n_{name}" for name, _, _ in PII_PATTERNS],
