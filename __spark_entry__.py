@@ -58,15 +58,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NB: dict order is driver-visible — the CORRECTNESS_r{N} file records
-    # only the FIRST 50 entries, so rotation rule (r3 verdict #2, r4
-    # verdict #2): queries new this round come first, then the 26 whose
-    # newest driver row is CORRECTNESS_r03 (all green there; judge
-    # re-verified all 76 against r4 code); the 50 green in
-    # CORRECTNESS_r04 go last.
+    # NB: dict order is driver-visible — the CORRECTNESS_r{N} file
+    # records only the FIRST 50 entries.  Priority for the window
+    # (r3/r4 verdict rotation rule, extended): (1) queries NEW or
+    # CHANGED this round (first/post-change driver row), (2) modules
+    # revectorized this round, (3) stale rows by recency (newest
+    # driver row r03), (4) r04-fresh rows last.  Entries past the cap
+    # keep their last green driver row and the judge's full sweep.
     return {
-        # --- new in round 5 (added as they land) ---
-        # --- newest driver row is r03: rotate to the front ---
+        # --- new or changed in round 5: inside the 50-row window so
+        # every one gets its FIRST (or post-change) driver row now ---
+        "token_count_real": bpe.q_token_count_real,
+        "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
+        "dedup_incremental": incremental.q_dedup_incremental,
+        "line_dedup_lines": lines.q_line_dedup_lines,
+        "line_dedup_remove": lines.q_line_dedup_remove,
+        "line_dedup_incremental": lines.q_line_dedup_incremental,
+        "export_shards": export.q_export_shards,
+        "export_shards_sized": export.q_export_shards_sized,
+        "text_pii": pii.q_text_pii,  # marker-prefilter landed r5
+        # r5-revectorized modules: keep inside the 50-row window
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_minhash_lsh": dedup.q_dedup_minhash,
+        "dedup_embedding": similarity.q_dedup_embedding,
+        "similarity_pq_codes": similarity.pq_codes,
+        "similarity_pq_topk": similarity.pq_topk,
+        "embedding_quality": similarity.q_embedding_quality,
+        # --- newest driver row is r03: next priority ---
         "asof_join_clicks": asof.q_asof_clicks,
         "webpages_violations": flagship_violations,
         "webpages_verdicts": flagship_verdicts,
@@ -113,13 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": select.q_curate_corpus,
         "sessionize_events": sessions.q_sessionize_events,
         "session_window_stats": sessions.q_session_window_stats,
-        # r5-revectorized modules: keep inside the 50-row window
-        "dedup_simhash": dedup.q_dedup_simhash,
-        "dedup_minhash_lsh": dedup.q_dedup_minhash,
-        "dedup_embedding": similarity.q_dedup_embedding,
-        "similarity_pq_codes": similarity.pq_codes,
-        "similarity_pq_topk": similarity.pq_topk,
-        "embedding_quality": similarity.q_embedding_quality,
         # --- green driver row in CORRECTNESS_r04 ---
         "chunk_documents": packing.q_chunk_documents,
         "substring_spans": dedup.q_substring_spans,
@@ -132,7 +143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text.q_text_fingerprint,
         "text_repetition": text.q_text_repetition,
         "text_tokens": text.q_text_tokens,
-        "text_pii": pii.q_text_pii,
         "sample_weighted": sampling.q_sample_weighted,
         "sample_bernoulli": sampling.q_sample_bernoulli,
         "sample_stratified": sampling.q_sample_stratified,
@@ -145,15 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_orders": skew.q_salted_join_orders,
         "url_canonical_dedup": urls.q_url_canonical_dedup,
         "dedup_substring": dedup.q_dedup_substring,
-        # --- new in round 5 (last per the driver-row rotation) ---
-        "token_count_real": bpe.q_token_count_real,
-        "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
-        "dedup_incremental": incremental.q_dedup_incremental,
-        "line_dedup_lines": lines.q_line_dedup_lines,
-        "line_dedup_remove": lines.q_line_dedup_remove,
-        "line_dedup_incremental": lines.q_line_dedup_incremental,
-        "export_shards": export.q_export_shards,
-        "export_shards_sized": export.q_export_shards_sized,
     }
 
 
