@@ -376,6 +376,17 @@ def build_queries(spark, sf_dir: str, factor: int):
             )
         )
 
+    def q_mixture():
+        # per-source epoch weighting: narrow lookup + explode fused
+        # into the scan; force() keeps rep in the counted plan
+        from xjs.pipeline.mixture import RECIPE, mixture_sample
+
+        return force(
+            mixture_sample(wp().select("doc_id", "source"), RECIPE).select(
+                "doc_id", "source", "rep"
+            )
+        )
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -422,6 +433,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "line_dedup_remove": q_line_dedup_remove,
         "export_shards": q_export_shards,
         "export_shards_sized": q_export_shards_sized,
+        "mixture_sample": q_mixture,
         "dynamic_json_udf": q_dynamic_udf,
     }
 
