@@ -162,3 +162,33 @@ def test_export_job_spark_submit_deterministic(spark, tmp):
     b = sorted(spark.read.parquet(f"{tmp}/run2/shards")
                .select("doc_id", "shard_id", "_key").collect())
     assert a == b
+
+
+def test_composite_identity_spreads_mixture_replicas(spark, sf_dir, docs):
+    """Sharding a mixture-expanded corpus on (doc_id, rep) gives each
+    replica an independent key — replicas spread across shards instead
+    of clumping — while (doc_id, rep) coverage stays exact."""
+    from xjs.pipeline.mixture import mixture_sample
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    mix = mixture_sample(full, {"src0": 3.0, "src1": 3.0})
+    rows = shard_assign(mix, n_shards=8, id_col=["doc_id", "rep"]).collect()
+    # exact coverage: every (doc, rep) exactly once
+    pairs = [(r.doc_id, r.rep) for r in rows]
+    assert len(pairs) == len(set(pairs)) == mix.count()
+    # replicas of tripled docs land in >1 shard for most docs
+    per = {}
+    for r in rows:
+        per.setdefault(r.doc_id, set()).add(r.shard_id)
+    tripled = {d: s for d, s in per.items() if len([p for p in pairs if p[0] == d]) == 3}
+    clumped = sum(1 for s in tripled.values() if len(s) == 1)
+    assert len(tripled) > 0
+    assert clumped <= len(tripled) * 0.3  # P(all 3 same shard) = 1/64
+    # single-column form unchanged: str and [str] agree
+    a = sorted((r.doc_id, r.shard_id, r.pos_in_shard)
+               for r in shard_assign(docs, n_shards=8).collect())
+    b = sorted((r.doc_id, r.shard_id, r.pos_in_shard)
+               for r in shard_assign(docs, n_shards=8, id_col=["doc_id"]).collect())
+    assert a == b

@@ -45,9 +45,13 @@ SEED = 42
 _BUCKET_HEX = 2      # 16^2 = 256 rank buckets
 
 
-def shard_key(id_col: Column, seed: int = SEED) -> Column:
-    """Seeded deterministic shuffle key: md5('<id>:<seed>') hex."""
-    return F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+def shard_key(*id_cols: Column, seed: int = SEED) -> Column:
+    """Seeded deterministic shuffle key: md5('<id>[:<id2>...]:<seed>')
+    hex.  Multiple columns compose the identity — e.g. (doc_id, rep)
+    for a mixture-expanded corpus, so replicas of one doc get
+    independent keys and spread across shards instead of clumping."""
+    parts = [c.cast("string") for c in id_cols]
+    return F.md5(F.concat_ws(":", *parts, F.lit(str(seed))))
 
 
 def _key60(key: Column) -> Column:
@@ -60,18 +64,21 @@ def shard_assign(
     df: DataFrame,
     n_shards: int = N_SHARDS,
     seed: int = SEED,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
 ) -> DataFrame:
-    """(id, shard_id, pos_in_shard): hash-mod sharding.  pos_in_shard
-    is the rank of the shuffle key inside the shard — the order
-    ``write_shards``' sortWithinPartitions produces, made explicit so
-    the assignment (not just membership) is oracle-checked."""
+    """(ids..., shard_id, pos_in_shard): hash-mod sharding.
+    pos_in_shard is the rank of the shuffle key inside the shard — the
+    order ``write_shards``' sortWithinPartitions produces, made
+    explicit so the assignment (not just membership) is
+    oracle-checked.  ``id_col`` may be a list (composite identity,
+    e.g. ``["doc_id", "rep"]`` after mixture expansion)."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     keyed = df.select(
-        id_col, shard_key(F.col(id_col), seed).alias("_key")
+        *ids, shard_key(*[F.col(c) for c in ids], seed=seed).alias("_key")
     ).withColumn("shard_id", (_key60(F.col("_key")) % n_shards).cast("int"))
-    w = Window.partitionBy("shard_id").orderBy("_key", id_col)
+    w = Window.partitionBy("shard_id").orderBy("_key", *ids)
     return keyed.select(
-        id_col,
+        *ids,
         "shard_id",
         (F.row_number().over(w) - 1).alias("pos_in_shard"),
     )
@@ -81,16 +88,17 @@ def shard_assign_sized(
     df: DataFrame,
     shard_size: int = SHARD_SIZE,
     seed: int = SEED,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     bucket_hex: int = _BUCKET_HEX,
 ) -> DataFrame:
-    """(id, shard_id, pos_in_shard): exact ``shard_size``-doc shards
-    (last shard ragged) over the seeded global order — equivalent to
-    ``row_number() OVER (ORDER BY key)`` but computed distributed:
-    bucket counts -> cumulative offsets (metadata-sized) -> per-bucket
-    row_number + offset."""
+    """(ids..., shard_id, pos_in_shard): exact ``shard_size``-doc
+    shards (last shard ragged) over the seeded global order —
+    equivalent to ``row_number() OVER (ORDER BY key)`` but computed
+    distributed: bucket counts -> cumulative offsets (metadata-sized)
+    -> per-bucket row_number + offset."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     keyed = df.select(
-        id_col, shard_key(F.col(id_col), seed).alias("_key")
+        *ids, shard_key(*[F.col(c) for c in ids], seed=seed).alias("_key")
     ).withColumn("_bucket", F.substring("_key", 1, bucket_hex))
     counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     # <= 16^bucket_hex rows: a metadata table, same class as the
@@ -101,16 +109,16 @@ def shard_assign_sized(
     offsets = counts.select(
         "_bucket", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
     )
-    wb = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    wb = Window.partitionBy("_bucket").orderBy("_key", *ids)
     pos = (
         keyed.join(F.broadcast(offsets), "_bucket")
         .select(
-            id_col,
+            *ids,
             (F.col("_off") + F.row_number().over(wb) - 1).alias("_pos"),
         )
     )
     return pos.select(
-        id_col,
+        *ids,
         F.floor(F.col("_pos") / shard_size).cast("int").alias("shard_id"),
         (F.col("_pos") % shard_size).cast("int").alias("pos_in_shard"),
     )
@@ -121,20 +129,21 @@ def write_shards(
     path: str,
     n_shards: int = N_SHARDS,
     seed: int = SEED,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
 ) -> None:
     """Materialize hash-mod shards: one directory per shard_id, rows
     sorted by the shuffle key within each shard.  repartition(n, col)
     hash-partitions so a writer task owns whole shards; partitionBy
     splits the directories."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     keyed = df.withColumn(
-        "_key", shard_key(F.col(id_col), seed)
+        "_key", shard_key(*[F.col(c) for c in ids], seed=seed)
     ).withColumn(
         "shard_id", (_key60(F.col("_key")) % n_shards).cast("int")
     )
     (
         keyed.repartition(n_shards, "shard_id")
-        .sortWithinPartitions("shard_id", "_key", id_col)
+        .sortWithinPartitions("shard_id", "_key", *ids)
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)
