@@ -44,21 +44,13 @@ def main() -> None:
     spark = SparkSession.builder.appName("xjs-export-shards").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    from xjs.pipeline.export import write_shards
+    from xjs.pipeline.export import write_manifest, write_shards
 
     t0 = time.time()
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     write_shards(docs, f"{args.out}/shards", args.n_shards, args.seed)
-
-    # manifest from the WRITTEN data: validates the sink and gives
-    # trainers per-shard row counts + key ranges
-    back = spark.read.parquet(f"{args.out}/shards")
-    manifest = back.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("_key").alias("min_key"),
-        F.max("_key").alias("max_key"),
-    )
-    manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
+    write_manifest(spark, f"{args.out}/shards", f"{args.out}/manifest",
+                   args.n_shards)
 
     m = spark.read.parquet(f"{args.out}/manifest")
     sizes = [r["n_docs"] for r in m.collect()]  # n_shards rows — metadata
@@ -68,8 +60,8 @@ def main() -> None:
                 "job": "export_shards",
                 "n_docs": int(sum(sizes)),
                 "n_shards": len(sizes),
-                "min_shard": int(min(sizes)),
-                "max_shard": int(max(sizes)),
+                "min_shard": int(min(sizes or [0])),
+                "max_shard": int(max(sizes or [0])),
                 "seed": args.seed,
                 "sec": round(time.time() - t0, 2),
             }

@@ -15,6 +15,7 @@ reader, in one deterministic job:
 Outputs:
     <out>/line_state/  line_md5, n_lines, n_docs, owner_doc, owner_line
     <out>/cleaned/     doc_id, lang, text          (lines removed)
+    <out>/survivors/   doc_id, lang, text          (exact-dedup kept)
     <out>/packed/      doc_id, lang, n_tokens, bin_id, bin_offset
     <out>/shards/shard_id=N/ + <out>/manifest/     (survivor corpus)
 
@@ -55,7 +56,7 @@ def main() -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     from xjs.pipeline.bpe import pack_sequences_bpe
-    from xjs.pipeline.export import write_shards
+    from xjs.pipeline.export import write_manifest, write_shards
     from xjs.pipeline.lines import (
         duplicated_lines,
         line_dedup_remove,
@@ -82,10 +83,18 @@ def main() -> None:
         "doc_id", "lang", "text"
     ).write.mode("overwrite").parquet(f"{args.out}/cleaned")
 
-    # 2. exact dedup over cleaned text
+    # 2. exact dedup over cleaned text — digest groupBy (32-char md5
+    #    shuffles instead of full text, the dedup.exact_duplicates
+    #    shape), survivors PERSISTED so stages 3 and 4 re-read stored
+    #    output instead of re-running the aggregation
     cl = spark.read.parquet(f"{args.out}/cleaned")
-    keep = cl.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    survivors = cl.join(keep.select("doc_id"), "doc_id")
+    keep = cl.groupBy(F.md5("text").alias("_dig")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    cl.join(keep.select("doc_id"), "doc_id").write.mode("overwrite").parquet(
+        f"{args.out}/survivors"
+    )
+    survivors = spark.read.parquet(f"{args.out}/survivors")
 
     # 3. real-BPE billing + per-language packing
     packed = pack_sequences_bpe(
@@ -96,12 +105,8 @@ def main() -> None:
 
     # 4. shard export of the survivor corpus + manifest from the sink
     write_shards(survivors, f"{args.out}/shards", args.n_shards, args.seed)
-    back = spark.read.parquet(f"{args.out}/shards")
-    back.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("_key").alias("min_key"),
-        F.max("_key").alias("max_key"),
-    ).write.mode("overwrite").parquet(f"{args.out}/manifest")
+    write_manifest(spark, f"{args.out}/shards", f"{args.out}/manifest",
+                   args.n_shards)
 
     pk = spark.read.parquet(f"{args.out}/packed")
     stats = pk.agg(
@@ -119,10 +124,10 @@ def main() -> None:
                 "n_docs_in": docs.count(),
                 "n_dup_lines": dups.count(),
                 "n_survivors": int(stats["n"]),
-                "total_bpe_tokens": int(stats["tok"]),
+                "total_bpe_tokens": int(stats["tok"] or 0),
                 "n_shards": len(sizes),
-                "min_shard": int(min(sizes)),
-                "max_shard": int(max(sizes)),
+                "min_shard": int(min(sizes or [0])),
+                "max_shard": int(max(sizes or [0])),
                 "sec": round(time.time() - t0, 2),
             }
         )

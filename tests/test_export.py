@@ -192,3 +192,17 @@ def test_composite_identity_spreads_mixture_replicas(spark, sf_dir, docs):
     b = sorted((r.doc_id, r.shard_id, r.pos_in_shard)
                for r in shard_assign(docs, n_shards=8, id_col=["doc_id"]).collect())
     assert a == b
+
+
+def test_null_id_propagates_to_null_key(spark):
+    """A NULL id must yield a NULL key (matching the SQL oracle's ||
+    semantics), not collapse onto the md5 of the seed alone."""
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.export import shard_key
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    rows = {r.doc_id: r.k for r in df.select(
+        "doc_id", shard_key(F.col("doc_id")).alias("k")).collect()}
+    assert rows[1] is not None
+    assert rows[None] is None

@@ -92,10 +92,16 @@ def test_prefilter_equivalence(spark, sf_dir):
     injected = docs.select(
         "doc_id", _inject_pii(F.col("doc_id"), F.col("text")).alias("text")
     )
+    # include a NULL-text row: guarded counts must stay NULL (not 0)
+    injected = injected.unionByName(
+        spark.createDataFrame([(99999999, None)], "doc_id long, text string")
+    )
     a = pii_scan(injected, prefilter=True)
     b = pii_scan(injected, prefilter=False)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+    nul = a.filter(F.col("doc_id") == 99999999).first()
+    assert nul.n_email is None and nul.pii_total is None
     # guards actually skip something AND actually fire somewhere
     n_pii = a.filter(F.col("pii_total") > 0).count()
     assert 0 < n_pii < docs.count()

@@ -49,9 +49,18 @@ def shard_key(*id_cols: Column, seed: int = SEED) -> Column:
     """Seeded deterministic shuffle key: md5('<id>[:<id2>...]:<seed>')
     hex.  Multiple columns compose the identity — e.g. (doc_id, rep)
     for a mixture-expanded corpus, so replicas of one doc get
-    independent keys and spread across shards instead of clumping."""
-    parts = [c.cast("string") for c in id_cols]
-    return F.md5(F.concat_ws(":", *parts, F.lit(str(seed))))
+    independent keys and spread across shards instead of clumping.
+
+    Built with null-propagating ``concat`` (NOT concat_ws): a NULL id
+    yields a NULL key, matching the SQL oracle's ``||`` semantics,
+    instead of silently collapsing every null-id row onto one shard.
+    Identity columns are joined with ':'; string ids containing ':'
+    could alias across column boundaries — ids here are numeric keys,
+    and callers with exotic string ids should pre-hash them."""
+    parts: list[Column] = []
+    for c in id_cols:
+        parts.extend([c.cast("string"), F.lit(":")])
+    return F.md5(F.concat(*parts, F.lit(str(seed))))
 
 
 def _key60(key: Column) -> Column:
@@ -147,6 +156,33 @@ def write_shards(
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)
+    )
+
+
+def write_manifest(
+    spark: SparkSession, shards_path: str, manifest_path: str, n_shards: int
+) -> None:
+    """Manifest computed from the WRITTEN shards (doubles as a sink
+    validation): one row per INTENDED shard id — empty shards appear
+    with n_docs=0 and NULL key range, so a trainer can distinguish
+    'shard intentionally empty' from 'shard missing'."""
+    back = spark.read.parquet(shards_path)
+    counts = back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_key").alias("min_key"),
+        F.max("_key").alias("max_key"),
+    )
+    full = spark.range(n_shards).select(F.col("id").cast("int").alias("shard_id"))
+    (
+        full.join(counts, "shard_id", "left")
+        .select(
+            "shard_id",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            "min_key",
+            "max_key",
+        )
+        .write.mode("overwrite")
+        .parquet(manifest_path)
     )
 
 

@@ -66,10 +66,19 @@ def line_rows(df: DataFrame, id_col: str = "doc_id",
 def _candidates(df: DataFrame, id_col: str, text_col: str,
                 min_chars: int) -> DataFrame:
     """(id, line_no, line_md5) for dedup-eligible lines — text dropped
-    before anything wide happens."""
+    before anything wide happens.  Lines at index >= _OWNER_ENC are
+    excluded from candidacy (fail-open: a pathological >1M-line doc
+    keeps its tail verbatim rather than corrupting owner identity);
+    a negative id fails fast — the encoded owner would decode wrong
+    AND Spark/DuckDB disagree on negative %, breaking the oracle."""
+    enc_ok = F.when(
+        F.col(id_col) >= 0, F.col("line_no") < _OWNER_ENC
+    ).otherwise(
+        F.raise_error(F.lit("line dedup requires non-negative doc ids"))
+    )
     return (
         line_rows(df, id_col, text_col)
-        .filter(F.length("line") >= min_chars)
+        .filter((F.length("line") >= min_chars) & enc_ok)
         .select(id_col, "line_no", F.md5("line").alias("line_md5"))
     )
 
@@ -337,7 +346,7 @@ lines AS (
 ),
 cand AS (
     SELECT doc_id, line_no, md5(line) AS line_md5
-    FROM lines WHERE length(line) >= {MIN_CHARS}
+    FROM lines WHERE length(line) >= {MIN_CHARS} AND line_no < {_OWNER_ENC}
 ),
 dups AS (
     SELECT line_md5, COUNT(*) AS n_lines, COUNT(DISTINCT doc_id) AS n_docs,

@@ -86,9 +86,12 @@ def pii_scan(
             "at": t.contains("@"),
             "digit": t.rlike("[0-9]"),
         }
+        # NULL-faithful: for NULL text regexp_count returns NULL, so
+        # the guarded form must too — the inner when() yields NULL
+        # (not 0) when the text itself is NULL
         counts = [
             F.when(has[_GUARDS[name]], F.regexp_count(t, F.lit(pat)))
-            .otherwise(0)
+            .otherwise(F.when(t.isNotNull(), 0))
             .alias(f"n_{name}")
             for name, pat, _ in PII_PATTERNS
         ]

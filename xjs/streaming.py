@@ -402,6 +402,7 @@ def run_line_clean_availablenow(
     checkpoint_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_dups: bool = True,
 ) -> None:
     """Streaming twin of line-grain dedup cleaning (pipeline.lines).
 
@@ -410,18 +411,22 @@ def run_line_clean_availablenow(
     comes from a BATCH ``duplicated_lines`` run and is held fixed
     while the stream applies per-doc consequences: each micro-batch
     routes through ``line_dedup_remove`` (the identical batch code
-    path) with the snapshot broadcast.  Owner occurrences named by the
-    snapshot keep their line whichever micro-batch they arrive in;
-    stateless given the snapshot, so no watermark.  Output goes
-    through ``idempotent_batch_write`` so at-least-once replays
-    overwrite instead of appending."""
+    path).  Owner occurrences named by the snapshot keep their line
+    whichever micro-batch they arrive in; stateless given the
+    snapshot, so no watermark.  ``broadcast_dups`` defaults True (the
+    snapshot usually fits — it is HAVING-filtered to duplicated
+    lines); pass False when it is corpus-scale, and pass a
+    MATERIALIZED ``dups`` (read from parquet, as the batch two-step
+    API does) so the detection plan doesn't re-execute per
+    micro-batch.  Output goes through ``idempotent_batch_write`` so
+    at-least-once replays overwrite instead of appending."""
     from xjs.pipeline.lines import line_dedup_remove
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
         idempotent_batch_write(
             line_dedup_remove(
                 batch_df, dups=dups, id_col=id_col, text_col=text_col,
-                broadcast_dups=True,
+                broadcast_dups=broadcast_dups,
             ),
             out_path,
             batch_id,
