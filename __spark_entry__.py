@@ -37,6 +37,7 @@ from xjs.pipeline import (  # noqa: E402
     domains,
     export,
     lines,
+    lm,
     mixture,
     heavy,
     incremental,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards_sized": export.q_export_shards_sized,
         "text_pii": pii.q_text_pii,  # marker-prefilter landed r5
         "mixture_sample": mixture.q_mixture_sample,
+        "lm_perplexity": lm.q_lm_perplexity,
         # r5-revectorized modules: keep inside the 50-row window
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_minhash_lsh": dedup.q_dedup_minhash,
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_remove": lines.oracle_line_dedup_remove_sql(),
         "line_dedup_incremental": lines.oracle_line_dedup_incremental_sql(),
         "mixture_sample": mixture.oracle_mixture_sample_sql(),
+        "lm_perplexity": lm.oracle_lm_perplexity_sql(),
         "export_shards": export.oracle_export_shards_sql(),
         "export_shards_sized": export.oracle_export_shards_sized_sql(),
         # --- new in round 3 ---

@@ -387,6 +387,14 @@ def build_queries(spark, sf_dir: str, factor: int):
             )
         )
 
+    def q_lm_perplexity():
+        # bigram-LM perplexity gate: narrow transition explode ->
+        # broadcast model lookup -> doc-keyed partial-agg sum;
+        # force(): ends in a projection, count() would prune the gate
+        from xjs.pipeline.lm import lm_filter
+
+        return force(lm_filter(wp().select("doc_id", "text")))
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -434,6 +442,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "export_shards": q_export_shards,
         "export_shards_sized": q_export_shards_sized,
         "mixture_sample": q_mixture,
+        "lm_perplexity": q_lm_perplexity,
         "dynamic_json_udf": q_dynamic_udf,
     }
 
