@@ -221,3 +221,45 @@ def test_boilerplate_grams_builders_agree(spark, sf_dir):
         h = fn(docs, "source", builder="hof")
         assert a.exceptAll(h).count() == 0
         assert h.exceptAll(a).count() == 0
+
+
+@pytest.mark.parametrize("edge_tokens", [None, 3, 32])
+@pytest.mark.parametrize("n", [1, 2, 5])
+def test_native_impl_equals_python_impl(spark, edge_df, n, edge_tokens):
+    """The r5 fully-vectorized cutter (ascii_split_whitespace + take +
+    binary_join + Arrow group_by) must match the per-doc python loop
+    row-for-row in every mode — including edge windows, where 'auto'
+    picks python (the A/B policy) but 'native' must stay correct."""
+    from xjs.pipeline.grams import ngram_count_rows, ngram_pos_rows
+
+    a = ngram_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl="native")
+    b = ngram_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl="python")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    ca = (
+        ngram_count_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl="native")
+        .groupBy("doc_id", "gram").agg(F.sum("cnt").alias("c"))
+    )
+    cb = (
+        ngram_count_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl="python")
+        .groupBy("doc_id", "gram").agg(F.sum("cnt").alias("c"))
+    )
+    assert ca.exceptAll(cb).count() == 0
+    assert cb.exceptAll(ca).count() == 0
+
+    if edge_tokens is None:
+        pa_ = ngram_pos_rows(edge_df, ["doc_id"], "text", n, impl="native")
+        pb = ngram_pos_rows(edge_df, ["doc_id"], "text", n, impl="python")
+        assert pa_.exceptAll(pb).count() == 0
+        assert pb.exceptAll(pa_).count() == 0
+
+
+def test_native_impl_equals_python_on_corpus(spark, sf_dir):
+    """Corpus-level pin of the native path (the 'auto' default for
+    full-document cuts) against the python reference."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = ngram_rows(docs, ["doc_id"], "text", 5, impl="native")
+    b = ngram_rows(docs, ["doc_id"], "text", 5, impl="python")
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0

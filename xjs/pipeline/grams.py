@@ -34,6 +34,174 @@ from pyspark.sql import DataFrame
 
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
+# Default cutter implementation.  'native' (r5) keeps the whole batch in
+# Arrow C++/numpy — ascii_split_whitespace (measured 6x RE2's
+# split_pattern_regex, byte-identical fields incl. empties), window
+# gather via take, separator join, and the per-doc DISTINCT as C++ hash
+# group_bys, zero per-doc Python (see _native_gram_parts); 'python' is
+# the r3/r4 per-doc loop kept as the equivalence reference (pinned
+# against 'native' in tests/test_grams.py, and itself pinned against the
+# pure-Catalyst HOF form).
+#
+# 'auto' (the default) picks per MODE, from the interleaved 1M-doc A/B
+# (BENCH/ab_gram_native_r5.json): native wins full-document cuts
+# (1.2-1.3x — the whole doc must be tokenized anyway, and C++ beats the
+# per-doc loop), but the python path wins EDGE-window cuts on
+# page-length docs (native 0.74-0.91x): its maxsplit-bounded split never
+# tokenizes the page middle, while Arrow has no bounded split — the full
+# C++ tokenize of a 600-token page costs more than Python's bounded cut
+# of 64 edge tokens.  Measured policy, not a guess.
+IMPL = "auto"
+
+
+def _resolve_impl(impl: str, edge_tokens: int | None) -> str:
+    if impl == "auto":
+        return "python" if edge_tokens is not None else "native"
+    return impl
+
+
+def _ragged_ranges(starts, lengths):
+    """Vectorized expansion of per-segment (start, length) pairs into one
+    flat position array: concat(range(s0, s0+l0), range(s1, s1+l1), ...).
+    The numpy idiom for cutting every gram window of every doc without a
+    Python loop."""
+    import numpy as np
+
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    seg_ids = np.repeat(np.arange(len(lengths)), lengths)
+    excl = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    local = np.arange(total, dtype=np.int64) - excl[seg_ids]
+    return np.repeat(starts, lengths) + local, seg_ids
+
+
+def _native_gram_parts(batch, text_idx: int, n: int, edge_tokens: int | None):
+    """Core of the native cutter: one Arrow RecordBatch in, flat
+    (row_ids, local_pos, gram StringArray) out, with per-doc semantics
+    identical to _gram_set / the per-doc python loop:
+
+    - doc skipped when text is null or '' (``if not txt``),
+    - strip ASCII space only (Spark ``trim`` parity),
+    - split on the Java-``\\s`` class, keeping empty fields,
+    - full mode: every window position; edge mode: head/tail windows of
+      long docs, full set for docs of <= 2*edge_tokens tokens.
+
+    Everything runs batch-wide: split_pattern_regex (C++ RE2), numpy
+    ragged-range window enumeration, Arrow ``take`` gathers of the n
+    shifted token columns, and one binary_join_element_wise for the
+    space join — per-batch cost is O(tokens + output grams) with no
+    per-doc Python."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = batch.column(text_idx)
+    ndocs = len(text)
+    valid = pc.fill_null(pc.not_equal(text, ""), False).to_numpy(
+        zero_copy_only=False
+    )
+    trimmed = pc.utf8_trim(pc.fill_null(text, ""), characters=" ")
+    # ascii_split_whitespace == re.split('[ \t\n\x0b\f\r]+') field-for-
+    # field (keeps empty fields, ASCII-only so NBSP stays inside tokens
+    # — Java-\s parity), and measured 6x RE2's split_pattern_regex
+    lists = pc.ascii_split_whitespace(trimmed)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    counts = counts.astype(np.int64)
+    tok_offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat = pc.list_flatten(lists)
+
+    # gram-window start positions, local to each doc
+    eff = np.where(valid, counts, 0)
+    full_m = np.maximum(eff - n + 1, 0)
+    if edge_tokens is None:
+        local_pos, row_ids = _ragged_ranges(
+            np.zeros(ndocs, dtype=np.int64), full_m
+        )
+    else:
+        e = edge_tokens
+        long_doc = eff > 2 * e
+        win_m = max(e - n + 1, 0)
+        head_len = np.where(long_doc, win_m, full_m)
+        tail_len = np.where(long_doc, win_m, 0)
+        starts = np.concatenate(
+            (np.zeros(ndocs, dtype=np.int64), np.maximum(eff - e, 0))
+        )
+        lens = np.concatenate((head_len, tail_len))
+        local_pos, seg_ids = _ragged_ranges(starts, lens)
+        row_ids = np.where(seg_ids >= ndocs, seg_ids - ndocs, seg_ids)
+        order = np.argsort(row_ids, kind="stable")
+        row_ids, local_pos = row_ids[order], local_pos[order]
+
+    if len(local_pos) == 0:
+        return row_ids, local_pos, pa.array([], type=pa.string())
+    gram_start = tok_offsets[row_ids] + local_pos
+    parts = [flat.take(pa.array(gram_start + j)) for j in range(n)]
+    grams = parts[0] if n == 1 else pc.binary_join_element_wise(*parts, " ")
+    return row_ids, local_pos, grams
+
+
+def _native_batches(
+    df: DataFrame,
+    keys: list[str],
+    text_col: str,
+    n: int,
+    edge_tokens: int | None,
+    mode: str,
+) -> DataFrame:
+    """Shared mapInArrow driver for the three native cutters.  mode:
+    'distinct' -> (keys..., gram), one row per distinct gram per doc;
+    'count'    -> (keys..., gram, cnt) with the per-batch map-side
+                  combine folded in (cnt = docs in batch carrying gram);
+    'pos'      -> (keys..., pos, gram), one row per window position.
+    The distinct / combine steps are Arrow C++ hash group_bys keyed on
+    the batch-local row index — no Python data structures at all."""
+    import pyarrow as pa
+
+    dtypes = dict(df.dtypes)
+    extra = {
+        "distinct": ["gram string"],
+        "count": ["gram string", "cnt long"],
+        "pos": ["pos int", "gram string"],
+    }[mode]
+    schema = ", ".join([f"{k} {dtypes[k]}" for k in keys] + extra)
+    nkeys = len(keys)
+
+    def build(batches: Iterator) -> Iterator:
+        for batch in batches:
+            row_ids, local_pos, grams = _native_gram_parts(
+                batch, nkeys, n, edge_tokens
+            )
+            idx = pa.array(row_ids)
+            key_arrays = [batch.column(j).take(idx) for j in range(nkeys)]
+            if mode == "pos":
+                yield pa.RecordBatch.from_arrays(
+                    key_arrays
+                    + [pa.array(local_pos, type=pa.int32()), grams],
+                    names=[*keys, "pos", "gram"],
+                )
+                continue
+            tb = pa.table(
+                {
+                    "__row": pa.array(row_ids),
+                    **{k: a for k, a in zip(keys, key_arrays)},
+                    "gram": grams,
+                }
+            )
+            distinct = tb.group_by(["__row", *keys, "gram"]).aggregate([])
+            if mode == "distinct":
+                out = distinct.select([*keys, "gram"])
+            else:
+                counted = distinct.group_by([*keys, "gram"]).aggregate(
+                    [("__row", "count")]
+                )
+                out = counted.rename_columns([*keys, "gram", "cnt"])
+            for ob in out.combine_chunks().to_batches():
+                if ob.num_rows:
+                    yield ob
+
+    return df.select(*keys, text_col).mapInArrow(build, schema)
+
 
 def _grams_of(toks: list[str], n: int) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -78,12 +246,18 @@ def ngram_rows(
     text_col: str,
     n: int,
     edge_tokens: int | None = None,
+    impl: str = IMPL,
 ) -> DataFrame:
     """(keys..., gram) — one row per distinct gram per input row,
     equivalent to ``explode(array_distinct(token_ngrams(text, n)))``
-    but built Arrow-batch-wise in Python (see module docstring for why
-    that wins).  A narrow map stage: no shuffle, each task streams its
-    batches through, output bounded by that task's gram count."""
+    but built Arrow-batch-wise (see module docstring for why that
+    wins).  A narrow map stage: no shuffle, each task streams its
+    batches through, output bounded by that task's gram count.
+    impl 'auto' (default) picks the measured winner per mode (module
+    docstring); 'native' = zero-per-doc-Python Arrow/numpy path;
+    'python' = the per-doc loop reference it is pinned against."""
+    if _resolve_impl(impl, edge_tokens) == "native":
+        return _native_batches(df, keys, text_col, n, edge_tokens, "distinct")
     import pandas as pd  # noqa: F401
 
     dtypes = dict(df.dtypes)
@@ -115,6 +289,7 @@ def ngram_count_rows(
     text_col: str,
     n: int,
     edge_tokens: int | None = None,
+    impl: str = IMPL,
 ) -> DataFrame:
     """(keys..., gram, cnt) — ``ngram_rows`` with the map-side combine
     folded INTO the cutter: cnt = number of docs in this Arrow batch
@@ -129,8 +304,13 @@ def ngram_count_rows(
     so combining per batch (a ``Counter.update`` per doc — C loop, no
     per-gram Python) halves the emitted rows on the bench corpus and
     shrinks both the Python→JVM Arrow transfer and the shuffle input.
-    Emission is ``mapInArrow`` — RecordBatch out directly, skipping the
-    pandas object-array round-trip ``ngram_rows`` pays."""
+    Emission is ``mapInArrow`` — RecordBatch out directly, skipping a
+    pandas object-array round-trip.  impl 'native' (default) runs the
+    cut AND the combine fully vectorized (Arrow group_by, no Counter);
+    'python' is the per-doc Counter loop it is pinned against; 'auto'
+    (default) picks the measured winner per mode (module docstring)."""
+    if _resolve_impl(impl, edge_tokens) == "native":
+        return _native_batches(df, keys, text_col, n, edge_tokens, "count")
     import pyarrow as pa
 
     dtypes = dict(df.dtypes)
@@ -182,12 +362,15 @@ def ngram_pos_rows(
     keys: list[str],
     text_col: str,
     n: int,
+    impl: str = IMPL,
 ) -> DataFrame:
     """(keys..., pos, gram) — one row per token *window position*
     (0-based; NOT distinct, unlike ngram_rows), for span-grain
     consumers (substring span removal needs to know WHERE a duplicated
     window sits, not just that it exists).  Same Arrow-batched narrow
     map stage and Java-``\\s`` tokenizer parity as ngram_rows."""
+    if _resolve_impl(impl, None) == "native":
+        return _native_batches(df, keys, text_col, n, None, "pos")
     import pandas as pd  # noqa: F401
 
     dtypes = dict(df.dtypes)
