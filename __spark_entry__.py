@@ -48,6 +48,7 @@ from xjs.pipeline import (  # noqa: E402
     select,
     sessions,
     similarity,
+    suffix,
     text,
     urls,
 )
@@ -70,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new or changed in round 5: inside the 50-row window so
         # every one gets its FIRST (or post-change) driver row now ---
+        "char_dedup_spans": suffix.q_char_spans,
+        "char_dedup_remove": suffix.q_char_remove,
         "token_count_real": bpe.q_token_count_real,
         "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
         "dedup_incremental": incremental.q_dedup_incremental,
@@ -165,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- new in round 5 ---
+        "char_dedup_spans": suffix.oracle_char_spans_sql(),
+        "char_dedup_remove": suffix.oracle_char_remove_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),
         "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
         "dedup_incremental": incremental.oracle_dedup_incremental_sql(),

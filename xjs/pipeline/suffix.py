@@ -1,0 +1,339 @@
+"""Character-grain exact-substring deduplication — the true grain of
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better", §4.1 EXACTSUBSTR): a character window of length >= ``K_CHARS``
+that re-occurs verbatim anywhere else in the corpus marks its span for
+removal, byte-faithfully, with the earliest occurrence kept.  The repo's
+token-window family (xjs.pipeline.dedup.substring_*) documents itself as
+the token-grain approximation of this; this module closes that gap.
+
+Reference parity: the reference engine has no corpus operators — this is
+part of the §2-mandated LLM-pipeline family (SURVEY.md §2.9), specified
+from the public paper, not from reference code.
+
+Key insight: a position p is inside SOME duplicated substring of length
+>= k  <=>  some k-char window covering p is duplicated  <=>  p lies in
+the union of duplicated k-windows.  So span detection needs only
+equality of fixed k-char window contents — never a full suffix sort —
+and three interchangeable equality keys are offered:
+
+- ``method='literal'``: the window text itself.  Exact, provably equal
+  to the DuckDB oracle; shuffles k-char strings (the ~50x corpus wire
+  cost is why it is the audit/oracle twin, not the production default).
+- ``method='hash'``: ``xxhash64`` of the window.  One narrow projection,
+  8-byte shuffle keys — the production path at 100 TB, with the same
+  2^-64-collision stance as the repo's md5 digests (expected spurious
+  window merges ~= W^2/2^65; at W = 10^12 windows that is ~0.03 falsely
+  merged window CONTENTS corpus-wide, each of which still needs the
+  other dedup gates to matter).
+- ``method='rank'``: distributed prefix-doubling (the suffix-array
+  construction step, Manber-Myers style, expressed as DataFrame rounds):
+  every position gets an integer equivalence-class id for its B-char
+  block, classes double (r_2d[p] <=> (r_d[p], r_d[p+d])) until d >= k/2,
+  and the exact-k key is the overlapped pair (r_d[p], r_d[p+k-d]).
+  Exact with NO collision assumption and shuffle keys that stay two
+  longs regardless of k — the scale path when k is large (code dedup at
+  k in the hundreds) or when collision-free audit output is required.
+  Cost: ceil(log2(k/B)) + 1 relabel rounds, each a groupBy + join over
+  the position table.
+
+All three produce identical spans (pinned in tests/test_suffix.py); the
+literal form backs the DuckDB oracle rows.
+
+Scale shape: the position table is one row per character (the grain's
+inherent cost — Lee et al. pay the same via suffix arrays over the
+concatenated corpus).  Detection is the same linear owner shape as
+token-grain substring dedup: ONE owner row per distinct window content
+(min encoded (doc,pos)), a 1:N join bounded by the position count, and
+gaps-and-islands under a doc-keyed window whose partitions are bounded
+by document length.  Document text is never shuffled — only (id, pos,
+key) triples move.  Removal joins a flagged-docs-sized span table and
+splices text in a narrow per-row projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K_CHARS = 50        # Lee et al. 2022 use 50 (bytes; chars here — see note)
+RANK_BLOCK = 16     # initial literal block width for method='rank'
+
+# Unicode note: Spark's length/substring and DuckDB's length/substr both
+# count CHARACTERS of the decoded string, so char grain (not byte grain)
+# is the portable exact contract; on ASCII web text the two coincide.
+
+
+def _positions(df: DataFrame, id_col: str, text_col: str, upto: Column) -> DataFrame:
+    """(id, text, pos): one row per 1-based char position 1..upto.
+    explode(sequence(...)) is narrow and fuses into the scan; text rides
+    along only until the key projection drops it."""
+    return df.select(
+        F.col(id_col), F.col(text_col),
+        F.explode(F.sequence(F.lit(1), upto)).alias("pos"),
+    )
+
+
+def _relabel(
+    keyed: DataFrame, key_cols: list[str], id_col: str, out: str
+) -> DataFrame:
+    """Replace the key tuple with one equivalence-class id: the class's
+    minimal (id, pos) member as a struct.  Equality-preserving is all
+    prefix-doubling needs (classes are consulted only through ``=``),
+    and the canonical-member id is DETERMINISTIC under recomputation —
+    the ranked lineage is consumed by two DAG branches per round, where
+    a ``monotonically_increasing_id`` could relabel the branches
+    differently after a shuffle reorders rows.  No dense global rank,
+    no global sort, no single-reducer window: one partial-agg shuffle
+    + one join per round, and structs compare/group like atomic keys."""
+    classes = keyed.groupBy(*key_cols).agg(
+        F.min(F.struct(id_col, "pos")).alias("__cls")
+    )
+    return (
+        keyed.join(classes, key_cols)
+        .drop(*key_cols)
+        .withColumnRenamed("__cls", out)
+    )
+
+
+def char_window_keys(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = K_CHARS, method: str = "literal",
+) -> DataFrame:
+    """(id, pos, key...): one row per k-char window start (1-based pos),
+    keyed so two rows carry equal keys iff their windows' contents are
+    equal (exactly for 'literal'/'rank'; modulo xxhash64 for 'hash').
+    Key columns: ``key`` for literal/hash, ``key_a``+``key_b`` for rank.
+    """
+    n_pos = F.length(F.col(text_col)) - k + 1
+    if method in ("literal", "hash"):
+        win = F.col(text_col).substr(F.col("pos"), F.lit(k))
+        key = F.xxhash64(win) if method == "hash" else win
+        return (
+            _positions(df.filter(F.length(text_col) >= k), id_col, text_col, n_pos)
+            .select(id_col, "pos", key.alias("key"))
+        )
+    if method != "rank":
+        raise ValueError(f"unknown method {method!r}")
+
+    # prefix doubling: ranks over ALL positions 1..len (doubling consults
+    # r_d at p+d for p beyond the window universe; blocks consulted by
+    # any valid k-window are always full — truncated end-of-doc blocks
+    # only feed positions no valid window reads)
+    b = min(RANK_BLOCK, k)
+    pos = _positions(df, id_col, text_col, F.length(F.col(text_col))).select(
+        id_col, "pos",
+        F.col(text_col).substr(F.col("pos"), F.lit(b)).alias("_blk"),
+    )
+    ranked = _relabel(pos, ["_blk"], id_col, "r")
+    sentinel = F.struct(
+        F.lit(-1).cast("long").alias(id_col), F.lit(-1).alias("pos")
+    )
+    d = b
+    while 2 * d < k:
+        shifted = ranked.select(
+            F.col(id_col), (F.col("pos") - d).alias("pos"),
+            F.col("r").alias("_r2"),
+        )
+        paired = ranked.join(shifted, [id_col, "pos"], "left").select(
+            id_col, "pos", "r", F.coalesce("_r2", sentinel).alias("_r2")
+        )
+        ranked = _relabel(paired, ["r", "_r2"], id_col, "r")
+        d *= 2
+    # exact-k key: overlapped block pair (r_d[p], r_d[p + k - d]); d >= k/2
+    # so the two blocks cover [p, p+k) exactly
+    off = k - d
+    shifted = ranked.select(
+        F.col(id_col), (F.col("pos") - off).alias("pos"),
+        F.col("r").alias("key_b"),
+    )
+    return (
+        ranked.join(shifted, [id_col, "pos"])
+        .join(
+            df.select(F.col(id_col), n_pos.alias("_np")), id_col
+        )
+        .filter(F.col("pos") <= F.col("_np"))
+        .select(id_col, "pos", F.col("r").alias("key_a"), "key_b")
+    )
+
+
+def char_span_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = K_CHARS, method: str = "literal",
+) -> DataFrame:
+    """(id, char_start, char_end): maximal duplicated character spans,
+    0-based half-open offsets — every char range covered by a k-window
+    whose exact content also occurs in a lower-id document.  The
+    earliest (min-id) occurrence of each window content is the owner
+    and keeps its text; within-doc repeats alone don't flag (same
+    min-owner semantics as the token-grain family).
+
+    Owner join shape: exactly substring_spans' linear groupBy+join
+    (one owner row per window content, output bounded by the position
+    count, partial aggregation absorbs hot-window skew); islands merge
+    under a doc-keyed window bounded by document length."""
+    from pyspark.sql.window import Window
+
+    keys = char_window_keys(df, id_col, text_col, k, method)
+    kc = ["key_a", "key_b"] if method == "rank" else ["key"]
+    owners = keys.groupBy(*kc).agg(F.min(id_col).alias("_owner"))
+    flagged = (
+        keys.join(owners, kc)
+        .filter(F.col(id_col) > F.col("_owner"))
+        .select(id_col, "pos")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(win)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    with_span = flagged.withColumn("_brk", brk).withColumn(
+        "_sid", F.sum("_brk").over(win)
+    )
+    return with_span.groupBy(id_col, "_sid").agg(
+        (F.min("pos") - 1).alias("char_start"),
+        (F.max("pos") - 1 + k).alias("char_end"),
+    ).select(id_col, "char_start", "char_end")
+
+
+def char_dedup_remove(
+    df: DataFrame, spans: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    broadcast_spans: bool = True,
+) -> DataFrame:
+    """(id, clean_text): the duplicated char spans cut out VERBATIM —
+    unlike the token-grain remover there is no whitespace
+    renormalization; kept segments concatenate byte-faithfully (the
+    paper's semantics: splice out the repeated bytes, keep the rest
+    untouched).
+
+    Scale shape: spans aggregate to one small sorted array per flagged
+    doc and BROADCAST by default, so the corpus text is never shuffled
+    — the removal stays a narrow map over the corpus (plan-asserted in
+    tests/test_suffix.py).  Splicing is a per-row fold over that tiny
+    array (HOF lambdas here iterate spans-per-doc elements, not corpus
+    data).  Unflagged docs pass through untouched.  Set
+    ``broadcast_spans=False`` when the flagged set outgrows executor
+    memory (the doc-id join is unique-key and skew-free either way,
+    same opt-out contract as line_dedup_remove)."""
+    sp = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("char_start", "char_end"))
+        ).alias("_spans")
+    )
+    if broadcast_spans:
+        sp = F.broadcast(sp)
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<char_start:int,char_end:int>>"),
+    )
+    text = F.col(text_col)
+    # kept segments: [0, s1.start), [s1.end, s2.start), ..., [sN.end, len)
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(spans_arr, lambda s: s.char_end)
+    )
+    ends = F.concat(
+        F.transform(spans_arr, lambda s: s.char_start),
+        F.array(F.length(text)),
+    )
+    segs = F.arrays_zip(starts.alias("s"), ends.alias("e"))
+    clean = F.array_join(
+        F.transform(
+            segs,
+            lambda z: F.when(
+                z.e > z.s, text.substr(z.s + 1, z.e - z.s)
+            ).otherwise(F.lit("")),
+        ),
+        "",
+    )
+    return (
+        df.join(sp, id_col, "left")
+        .select(F.col(id_col), clean.alias("clean_text"))
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles (dedup fixture corpus: exact replicas give whole-doc
+# spans, 'tail marker token' near-dups give PARTIAL spans — the shared
+# prefix is flagged in the higher-id copy, the tail survives)
+# --------------------------------------------------------------------------
+
+
+def q_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xjs.pipeline.dedup import dedup_corpus
+
+    return char_span_duplicates(dedup_corpus(spark, sf_dir))
+
+
+def q_char_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xjs.pipeline.dedup import dedup_corpus
+
+    corpus = dedup_corpus(spark, sf_dir)
+    return char_dedup_remove(corpus, char_span_duplicates(corpus))
+
+
+def _char_spans_ctes() -> str:
+    from xjs.pipeline.dedup import DUCKDB_CORPUS_CTE
+
+    k = K_CHARS
+    return f"""
+WITH {DUCKDB_CORPUS_CTE.strip()},
+wins AS (
+    SELECT doc_id, i AS pos, substr(text, i, {k}) AS key
+    FROM corpus, unnest(range(1, length(text) - {k} + 2)) AS r(i)
+    WHERE length(text) >= {k}
+),
+owners AS (
+    SELECT key, MIN(doc_id) AS owner FROM wins GROUP BY key
+),
+flagged AS (
+    SELECT w.doc_id, w.pos
+    FROM wins w JOIN owners o USING (key)
+    WHERE w.doc_id > o.owner
+),
+islands AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS brk
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+    SELECT doc_id, MIN(pos) - 1 AS char_start, MAX(pos) - 1 + {k} AS char_end
+    FROM (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+          FROM islands)
+    GROUP BY doc_id, sid
+)
+"""
+
+
+def oracle_char_spans_sql() -> str:
+    return _char_spans_ctes() + """
+SELECT doc_id, char_start, char_end FROM spans
+"""
+
+
+def oracle_char_remove_sql() -> str:
+    # spans are disjoint per doc, so ordering starts and ends by
+    # char_start keeps the two lists aligned; kept segment i runs from
+    # prev span's end (or 0) to this span's start (or len)
+    return _char_spans_ctes() + """
+, doc_spans AS (
+    SELECT doc_id,
+           list(char_start ORDER BY char_start) AS ss,
+           list(char_end ORDER BY char_start) AS ee
+    FROM spans GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CASE WHEN d.ss IS NULL THEN c.text
+            ELSE list_aggregate(
+                list_transform(
+                    range(1, len(d.ss) + 2),
+                    i -> substr(
+                        c.text,
+                        (CASE WHEN i = 1 THEN 0 ELSE d.ee[i - 1] END) + 1,
+                        (CASE WHEN i = len(d.ss) + 1 THEN length(c.text)
+                              ELSE d.ss[i] END)
+                        - (CASE WHEN i = 1 THEN 0 ELSE d.ee[i - 1] END))),
+                'string_agg', '')
+       END AS clean_text
+FROM corpus c LEFT JOIN doc_spans d USING (doc_id)
+"""
