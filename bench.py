@@ -303,6 +303,20 @@ def build_queries(spark, sf_dir: str, factor: int):
         )
         return dedup.substring_spans(d, hash_mode="native")
 
+    def q_char_dedup_spans():
+        # char-grain exact-substring spans (Lee et al. true grain) over
+        # the DISTINCT page corpus (collapse-first, like q_substring):
+        # ~10k distinct 3.5k-char pages = ~35M char windows.  Rolling-
+        # hash method: one O(N) numpy pass per batch — the per-position
+        # substr+xxhash form measured 66-83s on the same input (7x).
+        from xjs.pipeline.suffix import char_span_duplicates
+
+        corpus = spark.read.parquet(edge_path).select("doc_id", "text")
+        d = corpus.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id")
+        ).repartition(spark.sparkContext.defaultParallelism)
+        return force(char_span_duplicates(d, method="rolling"))
+
     def q_model_artifact():
         # the real pickled model through the adapter at bench scale
         # (r3 verdict #4): lazy per-worker load + numpy batch inference
@@ -435,6 +449,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "boilerplate_grams": q_boilerplate,
         "boilerplate_remove": q_boilerplate_remove,
         "substring_spans": q_substring_spans,
+        "char_dedup_spans": q_char_dedup_spans,
         "text_model_artifact": q_model_artifact,
         "token_count_real": q_token_count_real,
         "line_dedup_detect": q_line_dedup_detect,

@@ -86,7 +86,7 @@ def test_spans_match_python_reference(corpus_df):
     assert len(got) > 0
 
 
-@pytest.mark.parametrize("method", ["hash", "rank"])
+@pytest.mark.parametrize("method", ["hash", "rank", "rolling"])
 def test_methods_agree_with_literal(corpus_df, method):
     lit = _canon(char_span_duplicates(corpus_df))
     other = _canon(char_span_duplicates(corpus_df, method=method))
@@ -169,7 +169,7 @@ def test_rank_key_universe_excludes_tail_positions(corpus_df):
     methods already pin this, but assert the flagged-position grain
     directly via span bounds staying inside the document."""
     texts = dict(_corpus())
-    for method in ("literal", "hash", "rank"):
+    for method in ("literal", "hash", "rank", "rolling"):
         for d, s, e in _canon(char_span_duplicates(corpus_df, method=method)):
             assert 0 <= s < e <= len(texts[d])
 

