@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": pii.q_text_pii,  # marker-prefilter landed r5
         "mixture_sample": mixture.q_mixture_sample,
         "lm_perplexity": lm.q_lm_perplexity,
+        "lm_perplexity_trigram": lm.q_lm_perplexity_trigram,
         # r5-revectorized modules: keep inside the 50-row window
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_minhash_lsh": dedup.q_dedup_minhash,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_incremental": lines.oracle_line_dedup_incremental_sql(),
         "mixture_sample": mixture.oracle_mixture_sample_sql(),
         "lm_perplexity": lm.oracle_lm_perplexity_sql(),
+        "lm_perplexity_trigram": lm.oracle_lm_perplexity_trigram_sql(),
         "export_shards": export.oracle_export_shards_sql(),
         "export_shards_sized": export.oracle_export_shards_sized_sql(),
         # --- new in round 3 ---

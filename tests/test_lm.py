@@ -75,3 +75,90 @@ def test_broadcast_lookup_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # model table never shuffles the corpus
+
+
+# --------------------------------------------------------------------------
+# trigram + stupid backoff (r5)
+# --------------------------------------------------------------------------
+
+
+def test_trigram_artifact_retrains_byte_identical():
+    import importlib.util
+    import pickle as pk
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "train_trigram_lm",
+        Path(__file__).resolve().parent.parent / "scripts" / "train_trigram_lm.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from xjs.pipeline.lm import DEFAULT_LM3
+
+    assert pk.dumps(mod.train(), protocol=4) == pk.dumps(
+        load(DEFAULT_LM3), protocol=4
+    )
+
+
+def test_trigram_backoff_chain_integer_exact(spark):
+    """Hand-check the three-way backoff: pruned-trigram hit, bigram
+    backoff (+integer alpha), OOV floor — each an exact integer."""
+    from xjs.pipeline.lm import DEFAULT_LM3, lm_score_trigram
+
+    model = load(DEFAULT_LM3)
+    tri = {(a, b, c): lp for a, b, c, lp in model["trigrams"]}
+    bi = {(p, w): lp for p, w, lp in model["bigrams"]}
+    (a, b, c), lp3 = next(iter(sorted(tri.items())))
+    # a bigram NOT extending to a kept trigram with some continuation
+    backoff_pair = next(
+        (p, w) for (p, w) in sorted(bi)
+        if not any(k[1] == p and k[2] == w for k in tri)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} {b} {c}"),                      # trigram hit
+            (2, f"zz {backoff_pair[0]} {backoff_pair[1]}"),  # bigram backoff
+            (3, "zz yy xx"),                           # OOV floor
+            (4, f"{a} {b}"),                           # < 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_transitions, r.lp_sum)
+        for r in lm_score_trigram(df).collect()
+    }
+    assert got[1] == (1, tri[(a, b, c)])
+    assert got[2] == (1, bi[backoff_pair] + model["backoff"])
+    assert got[3] == (1, model["lp_oov"])
+    assert got[4] == (0, 0)
+
+
+def test_trigram_gate_drops_exactly_the_noise(spark, sf_dir):
+    from xjs.pipeline.lm import lm_filter_trigram
+
+    out = lm_filter_trigram(lm_corpus(spark, sf_dir))
+    dropped = {r.doc_id for r in out.filter(~F.col("keep")).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    noise = {r.doc_id for r in docs.filter(F.col("doc_id") % 9 == 0).collect()}
+    assert dropped == noise and len(noise) > 0
+
+
+def test_trigram_native_equals_portable(spark, sf_dir):
+    from xjs.pipeline.lm import lm_score_trigram
+
+    corpus = lm_corpus(spark, sf_dir)
+    a = lm_score_trigram(corpus, hash_mode="native")
+    b = lm_score_trigram(corpus, hash_mode="portable")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_trigram_broadcast_plan(spark, sf_dir):
+    from xjs.pipeline.lm import lm_score_trigram
+
+    plan = (
+        lm_score_trigram(lm_corpus(spark, sf_dir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both model probes broadcast; the corpus never shuffles for them
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from xjs.pipeline.model_artifact import PKG_PREFIX, load
 
 DEFAULT_LM = PKG_PREFIX + "bigram_lm.pkl"
+DEFAULT_LM3 = PKG_PREFIX + "trigram_lm.pkl"
 
 #: default gate: mean transition log-prob ≥ ln(1/MAX_PPL)
 MAX_PPL = 400.0
@@ -129,6 +130,108 @@ def lm_filter(
     )
 
 
+def lm_score_trigram(
+    df: DataFrame,
+    artifact: str = DEFAULT_LM3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "native",
+) -> DataFrame:
+    """(id, n_transitions, lp_sum): integer micro-nat score under the
+    singleton-pruned trigram artifact with STUPID BACKOFF — a
+    transition (p2, p1, w) scores the trigram lp if the pruned table
+    holds it, else the bigram lp + the artifact's integer backoff
+    constant, else the OOV floor.  The backoff multiplier ln(0.4) is an
+    integer ADDITION in micro-nat space, so pruning costs no exactness
+    (scripts/train_trigram_lm.py).  Docs with < 3 tokens score (0, 0).
+
+    Scale shape: one narrow triple explode, then TWO broadcast left
+    joins (trigram probe, bigram backoff probe — both model-sized) and
+    the same single doc-keyed partial-agg sum as the bigram scorer.
+    ``hash_mode='native'`` probes both tables on xxhash64 longs (the
+    lm_score precedent); 'portable' joins exact strings for the
+    oracle."""
+    spark = df.sparkSession
+    model = load(artifact)
+    tri = spark.createDataFrame(
+        [(a, b, c, int(lp)) for a, b, c, lp in model["trigrams"]],
+        "p2 string, p1 string, tok string, lp3 long",
+    )
+    bi = spark.createDataFrame(
+        [(p, w, int(lp)) for p, w, lp in model["bigrams"]],
+        "p1 string, tok string, lp2 long",
+    )
+    lp_oov = int(model["lp_oov"])
+    backoff = int(model["backoff"])
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    m = F.greatest(n - 2, F.lit(0))
+    triples = F.arrays_zip(
+        F.slice(toks, 1, m).alias("p2"),
+        F.slice(toks, 2, m).alias("p1"),
+        F.slice(toks, 3, m).alias("tok"),
+    )
+    trans = df.select(id_col, F.explode(triples).alias("_t")).select(
+        id_col,
+        F.col("_t.p2").alias("p2"),
+        F.col("_t.p1").alias("p1"),
+        F.col("_t.tok").alias("tok"),
+    )
+    if hash_mode == "native":
+        trans = trans.select(
+            id_col,
+            F.xxhash64("p2", "p1", "tok").alias("_k3"),
+            F.xxhash64("p1", "tok").alias("_k2"),
+        )
+        tri = tri.select(F.xxhash64("p2", "p1", "tok").alias("_k3"), "lp3")
+        bi = bi.select(F.xxhash64("p1", "tok").alias("_k2"), "lp2")
+        k3, k2 = ["_k3"], ["_k2"]
+    else:
+        k3, k2 = ["p2", "p1", "tok"], ["p1", "tok"]
+    lp = F.coalesce(
+        F.col("lp3"), F.col("lp2") + F.lit(backoff), F.lit(lp_oov)
+    )
+    scored = (
+        trans.join(F.broadcast(tri), k3, "left")
+        .join(F.broadcast(bi), k2, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(lp).alias("lp_sum"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
+        F.coalesce("lp_sum", F.lit(0)).alias("lp_sum"),
+    )
+
+
+def lm_filter_trigram(
+    df: DataFrame,
+    max_ppl: float = MAX_PPL,
+    artifact: str = DEFAULT_LM3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "native",
+) -> DataFrame:
+    """lm_filter under the trigram+backoff scorer — same integer gate."""
+    import math
+
+    thr = round(-math.log(max_ppl) * 1_000_000)
+    s = lm_score_trigram(df, artifact, text_col, id_col, hash_mode)
+    return s.select(
+        id_col,
+        "n_transitions",
+        "lp_sum",
+        (
+            (F.col("n_transitions") == 0)
+            | (F.col("lp_sum") >= F.lit(thr) * F.col("n_transitions"))
+        ).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # query + oracle: the corpus mixes in-distribution docs with injected
 # shuffled-vocab noise (OOV-free but transition-breaking), so the gate
@@ -161,6 +264,64 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle row runs the provable string-pair join (the substring
     # hash_mode precedent); bench/production run 'native'
     return lm_filter(lm_corpus(spark, sf_dir), hash_mode="portable")
+
+
+def q_lm_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_filter_trigram(lm_corpus(spark, sf_dir), hash_mode="portable")
+
+
+def oracle_lm_perplexity_trigram_sql(artifact: str = DEFAULT_LM3) -> str:
+    import math
+
+    model = load(artifact)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    tri_vals = ", ".join(
+        f"('{esc(a)}', '{esc(b)}', '{esc(c)}', {lp})"
+        for a, b, c, lp in model["trigrams"]
+    )
+    bi_vals = ", ".join(
+        f"('{esc(p)}', '{esc(w)}', {lp})" for p, w, lp in model["bigrams"]
+    )
+    lp_oov = int(model["lp_oov"])
+    backoff = int(model["backoff"])
+    thr = round(-math.log(MAX_PPL) * 1_000_000)
+    return f"""
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+                THEN array_to_string(list_transform(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t || t), ' ')
+                ELSE text END AS text
+    FROM documents
+),
+lm3(p2, p1, tok, lp3) AS (VALUES {tri_vals}),
+lm2(p1, tok, lp2) AS (VALUES {bi_vals}),
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
+),
+trans AS (
+    SELECT doc_id, t[i - 2] AS p2, t[i - 1] AS p1, t[i] AS tok
+    FROM toks, unnest(range(3, len(t) + 1)) AS r(i)
+),
+scored AS (
+    SELECT tr.doc_id, COUNT(*) AS n_transitions,
+           SUM(COALESCE(lm3.lp3, lm2.lp2 + {backoff}, {lp_oov})) AS lp_sum
+    FROM trans tr
+    LEFT JOIN lm3 ON lm3.p2 = tr.p2 AND lm3.p1 = tr.p1 AND lm3.tok = tr.tok
+    LEFT JOIN lm2 ON lm2.p1 = tr.p1 AND lm2.tok = tr.tok
+    GROUP BY tr.doc_id
+)
+SELECT c.doc_id,
+       COALESCE(s.n_transitions, 0) AS n_transitions,
+       COALESCE(s.lp_sum, 0)::BIGINT AS lp_sum,
+       (COALESCE(s.n_transitions, 0) = 0
+        OR COALESCE(s.lp_sum, 0) >= {thr}::BIGINT * s.n_transitions) AS keep
+FROM corpus c LEFT JOIN scored s USING (doc_id)
+"""
 
 
 def oracle_lm_perplexity_sql(artifact: str = DEFAULT_LM) -> str:
