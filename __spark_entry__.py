@@ -36,6 +36,7 @@ from xjs.pipeline import (  # noqa: E402
     dedup,
     domains,
     export,
+    html,
     lines,
     lm,
     mixture,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": mixture.q_mixture_sample,
         "lm_perplexity": lm.q_lm_perplexity,
         "lm_perplexity_trigram": lm.q_lm_perplexity_trigram,
+        "html_extract": html.q_html_extract,
         # r5-revectorized modules: keep inside the 50-row window
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_minhash_lsh": dedup.q_dedup_minhash,
@@ -180,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": mixture.oracle_mixture_sample_sql(),
         "lm_perplexity": lm.oracle_lm_perplexity_sql(),
         "lm_perplexity_trigram": lm.oracle_lm_perplexity_trigram_sql(),
+        "html_extract": html.oracle_html_extract_sql(),
         "export_shards": export.oracle_export_shards_sql(),
         "export_shards_sized": export.oracle_export_shards_sized_sql(),
         # --- new in round 3 ---

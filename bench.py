@@ -401,6 +401,18 @@ def build_queries(spark, sf_dir: str, factor: int):
             )
         )
 
+    def q_html_extract():
+        # HTML -> text extraction contract over 1M wrapper pages: a
+        # scan-fused regexp_replace chain, zero shuffle; force() keeps
+        # the projection in the counted plan
+        from xjs.pipeline.html import html_extract_text
+
+        return force(
+            html_extract_text(wp().select("doc_id", "html")).select(
+                "doc_id", "extracted_text"
+            )
+        )
+
     def q_lm_perplexity():
         # bigram-LM perplexity gate: narrow transition explode ->
         # broadcast model lookup -> doc-keyed partial-agg sum;
@@ -457,6 +469,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "export_shards": q_export_shards,
         "export_shards_sized": q_export_shards_sized,
         "mixture_sample": q_mixture,
+        "html_extract": q_html_extract,
         "lm_perplexity": q_lm_perplexity,
         "dynamic_json_udf": q_dynamic_udf,
     }
