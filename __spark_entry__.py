@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": lm.q_lm_perplexity,
         "lm_perplexity_trigram": lm.q_lm_perplexity_trigram,
         "html_extract": html.q_html_extract,
+        "dedup_normalized": dedup.q_dedup_normalized,
         # r5-revectorized modules: keep inside the 50-row window
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_minhash_lsh": dedup.q_dedup_minhash,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": lm.oracle_lm_perplexity_sql(),
         "lm_perplexity_trigram": lm.oracle_lm_perplexity_trigram_sql(),
         "html_extract": html.oracle_html_extract_sql(),
+        "dedup_normalized": dedup.ORACLE_DEDUP_NORMALIZED_SQL,
         "export_shards": export.oracle_export_shards_sql(),
         "export_shards_sized": export.oracle_export_shards_sized_sql(),
         # --- new in round 3 ---

@@ -379,3 +379,42 @@ def test_decontaminate_tau_spares_incidental_hit(spark):
     anyhit = {r["doc_id"] for r in
               decontam.contaminated_docs_tau(corpus, bench, tau=0.0).collect()}
     assert anyhit == {1, 2}
+
+
+def test_normalized_dedup_collapses_case_punct_ws_variants(spark):
+    """The normalized tier must merge case/punctuation/whitespace
+    variants that byte-exact dedup cannot see, keep the min id, and
+    NOT merge genuinely different texts."""
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.dedup import exact_duplicates, normalized_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "ALPHA, beta!!  GAMMA."),      # case + punct + ws variant
+            (3, "alpha\tbeta\ngamma"),          # whitespace-class variant
+            (4, "alpha beta delta"),            # different content
+            (5, "unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    norm = normalized_duplicates(df).collect()
+    assert len(norm) == 1
+    assert norm[0]["n_docs"] == 3 and norm[0]["keep_doc_id"] == 1
+    # byte-exact sees nothing (all five texts differ)
+    assert exact_duplicates(df).count() == 0
+
+
+def test_normalize_text_ascii_contract(spark):
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.dedup import normalize_text
+
+    df = spark.createDataFrame(
+        [("  A-b.C  déf 42! ",)], "text string"
+    )
+    got = df.select(normalize_text(F.col("text")).alias("t")).first()["t"]
+    # lowercase, punctuation dropped, non-ASCII letters dropped (the
+    # documented contract), whitespace collapsed + trimmed
+    assert got == "abc df 42"

@@ -103,6 +103,76 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) >= 2
 
 
 # --------------------------------------------------------------------------
+# normalization-robust exact dedup ("fuzzy exact": the standard tier
+# between byte-exact and MinHash — catches case/punctuation/whitespace
+# variants of otherwise identical documents without any similarity math)
+# --------------------------------------------------------------------------
+
+def normalize_text(col: Column) -> Column:
+    """The normalization contract (exact, engine-portable): lowercase,
+    strip everything but [a-z0-9] and ASCII whitespace, collapse
+    whitespace runs, trim.  ASCII-complete; non-ASCII letters are
+    treated as punctuation and dropped (documented contract — keeps the
+    Spark and DuckDB answers byte-identical without relying on the two
+    engines' unicode casefold tables agreeing)."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, r"[^a-z0-9 \t\n\x0b\f\r]+", "")
+    return F.trim(F.regexp_replace(s, r"[ \t\n\x0b\f\r]+", " "))
+
+
+def normalized_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(norm_md5, n_docs, keep_doc_id): groups whose NORMALIZED texts
+    coincide; survivor = min id.  Same single partial-agg groupBy shape
+    as exact_duplicates — the normalization is scan-fused, the shuffle
+    key is a 16-byte digest, map-side combine absorbs replication."""
+    return (
+        df.groupBy(
+            F.md5(normalize_text(F.col(text_col))).alias("norm_md5")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: every 30th doc gets a shouted-and-punctuated variant
+    (uppercased, '!!!' banner, doubled spaces) at doc_id+3M — invisible
+    to byte-exact dedup, collapsed by the normalized digest."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    variants = d.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  !!!")).alias("text"),
+    )
+    return normalized_duplicates(d.unionAll(variants))
+
+
+ORACLE_DEDUP_NORMALIZED_SQL = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, upper(text) || '  !!!' AS text
+    FROM documents WHERE doc_id % 30 = 0
+),
+normed AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 \t\n\x0b\f\r]+', '', 'g'),
+               '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_md5
+    FROM corpus
+)
+SELECT norm_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM normed GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
 # minhash + LSH
 # --------------------------------------------------------------------------
 
