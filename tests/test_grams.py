@@ -223,22 +223,28 @@ def test_boilerplate_grams_builders_agree(spark, sf_dir):
         assert h.exceptAll(a).count() == 0
 
 
+@pytest.mark.parametrize("impl", ["native", "hybrid"])
 @pytest.mark.parametrize("edge_tokens", [None, 3, 32])
 @pytest.mark.parametrize("n", [1, 2, 5])
-def test_native_impl_equals_python_impl(spark, edge_df, n, edge_tokens):
+def test_vectorized_impls_equal_python_impl(spark, edge_df, n, edge_tokens, impl):
     """The r5 fully-vectorized cutter (ascii_split_whitespace + take +
-    binary_join + Arrow group_by) must match the per-doc python loop
-    row-for-row in every mode — including edge windows, where 'auto'
-    picks python (the A/B policy) but 'native' must stay correct."""
+    binary_join + Arrow group_by) and the r5 hybrid edge cutter (python
+    maxsplit-bounded extraction + Arrow/numpy windowing) must match the
+    per-doc python loop row-for-row in every mode they serve — 'native'
+    everywhere, 'hybrid' in edge mode (its bounded split never
+    tokenizes a long doc's middle; full mode has no bound to exploit)."""
     from xjs.pipeline.grams import ngram_count_rows, ngram_pos_rows
 
-    a = ngram_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl="native")
+    if impl == "hybrid" and edge_tokens is None:
+        pytest.skip("hybrid is an edge-mode cutter only")
+
+    a = ngram_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl=impl)
     b = ngram_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl="python")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
 
     ca = (
-        ngram_count_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl="native")
+        ngram_count_rows(edge_df, ["doc_id"], "text", n, edge_tokens, impl=impl)
         .groupBy("doc_id", "gram").agg(F.sum("cnt").alias("c"))
     )
     cb = (
@@ -249,7 +255,7 @@ def test_native_impl_equals_python_impl(spark, edge_df, n, edge_tokens):
     assert cb.exceptAll(ca).count() == 0
 
     if edge_tokens is None:
-        pa_ = ngram_pos_rows(edge_df, ["doc_id"], "text", n, impl="native")
+        pa_ = ngram_pos_rows(edge_df, ["doc_id"], "text", n, impl=impl)
         pb = ngram_pos_rows(edge_df, ["doc_id"], "text", n, impl="python")
         assert pa_.exceptAll(pb).count() == 0
         assert pb.exceptAll(pa_).count() == 0
