@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every one gets its FIRST (or post-change) driver row now ---
         "char_dedup_spans": suffix.q_char_spans,
         "char_dedup_remove": suffix.q_char_remove,
+        "char_dedup_incremental": suffix.q_char_incremental,
         "token_count_real": bpe.q_token_count_real,
         "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
         "dedup_incremental": incremental.q_dedup_incremental,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         # --- new in round 5 ---
         "char_dedup_spans": suffix.oracle_char_spans_sql(),
         "char_dedup_remove": suffix.oracle_char_remove_sql(),
+        "char_dedup_incremental": suffix.oracle_char_incremental_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),
         "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
         "dedup_incremental": incremental.oracle_dedup_incremental_sql(),

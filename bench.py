@@ -317,6 +317,40 @@ def build_queries(spark, sf_dir: str, factor: int):
         ).repartition(spark.sparkContext.defaultParallelism)
         return force(char_span_duplicates(d, method="rolling"))
 
+    # persisted window-owner state for the char-grain incremental row:
+    # history = 7/8 of the distinct page corpus, anchor_mod=8 (the
+    # content-defined state dial), stored once like the flagged-gram
+    # table.  char_state_update's _SUCCESS guard is the cache check.
+    char_state_path = edge_path + "-charstate-a8"
+    if not os.path.exists(os.path.join(char_state_path, "_SUCCESS")):
+        from xjs.pipeline.suffix import char_state_update
+
+        _dpage = (
+            spark.read.parquet(edge_path).select("doc_id", "text")
+            .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        )
+        char_state_update(
+            spark, _dpage.filter(F.col("doc_id") % 8 != 0),
+            char_state_path, method="rolling", anchor_mod=8,
+        )
+
+    def q_char_dedup_incremental():
+        # the nightly increment: key the NEW slice (1/8 of distinct
+        # pages, ~4.4M anchored windows) and min-merge into the stored
+        # owner state — historical text never re-read; prices the
+        # per-slice keying pass + the two key-keyed aggregations
+        from xjs.pipeline.suffix import char_state_merge
+
+        corpus = spark.read.parquet(edge_path).select("doc_id", "text")
+        new = corpus.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id")
+        ).filter(F.col("doc_id") % 8 == 0)
+        return force(
+            char_state_merge(
+                spark, new, char_state_path, method="rolling", anchor_mod=8
+            )
+        )
+
     def q_model_artifact():
         # the real pickled model through the adapter at bench scale
         # (r3 verdict #4): lazy per-worker load + numpy batch inference
@@ -462,6 +496,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "boilerplate_remove": q_boilerplate_remove,
         "substring_spans": q_substring_spans,
         "char_dedup_spans": q_char_dedup_spans,
+        "char_dedup_incremental": q_char_dedup_incremental,
         "text_model_artifact": q_model_artifact,
         "token_count_real": q_token_count_real,
         "line_dedup_detect": q_line_dedup_detect,

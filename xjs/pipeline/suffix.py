@@ -238,31 +238,44 @@ def char_window_keys(
     )
 
 
-def char_span_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = K_CHARS, method: str = "literal",
-) -> DataFrame:
-    """(id, char_start, char_end): maximal duplicated character spans,
-    0-based half-open offsets — every char range covered by a k-window
-    whose exact content also occurs in a lower-id document.  The
-    earliest (min-id) occurrence of each window content is the owner
-    and keeps its text; within-doc repeats alone don't flag (same
-    min-owner semantics as the token-grain family).
+def _anchored(keys: DataFrame, method: str, anchor_mod: int) -> DataFrame:
+    """Content-defined window selection (Manber 1994 fingerprint
+    pruning): keep a window iff a hash OF ITS CONTENT is 0 mod
+    ``anchor_mod``.  Because the predicate sees only the window's own
+    bytes, every occurrence of the same content — any doc, any slice,
+    any run — is uniformly kept or skipped, so min-owner semantics,
+    batch/incremental equivalence, and the oracle all survive the
+    pruning unchanged; only the detection floor moves (see
+    char_state_update).  'literal' selects on the md5-hex->BIGINT
+    idiom the export oracle proved bit-identical in DuckDB; the int
+    key methods select on the key itself (already a content hash).
+    'rank' is refused: its class ids are run-relative equivalence
+    labels, not content hashes — the same content gets different ids
+    in different runs, which breaks content-defined selection."""
+    if anchor_mod <= 1:
+        return keys
+    if method == "literal":
+        sel = (
+            F.conv(F.substring(F.md5(F.col("key")), 1, 15), 16, 10)
+            .cast("long") % anchor_mod == 0
+        )
+    elif method in ("hash", "rolling"):
+        sel = F.pmod(F.col("key"), F.lit(anchor_mod)) == 0
+    else:
+        raise ValueError(
+            f"anchor_mod needs a content-defined key; method {method!r} "
+            "has run-relative keys"
+        )
+    return keys.filter(sel)
 
-    Owner join shape: exactly substring_spans' linear groupBy+join
-    (one owner row per window content, output bounded by the position
-    count, partial aggregation absorbs hot-window skew); islands merge
-    under a doc-keyed window bounded by document length."""
+
+def _spans_from_flagged(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands over flagged window starts: merge windows whose
+    [pos, pos+k) ranges touch or overlap into (id, char_start,
+    char_end) spans, 0-based half-open.  Doc-keyed window, partitions
+    bounded by document length."""
     from pyspark.sql.window import Window
 
-    keys = char_window_keys(df, id_col, text_col, k, method)
-    kc = ["key_a", "key_b"] if method == "rank" else ["key"]
-    owners = keys.groupBy(*kc).agg(F.min(id_col).alias("_owner"))
-    flagged = (
-        keys.join(owners, kc)
-        .filter(F.col(id_col) > F.col("_owner"))
-        .select(id_col, "pos")
-    )
     win = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(win)
     brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
@@ -273,6 +286,39 @@ def char_span_duplicates(
         (F.min("pos") - 1).alias("char_start"),
         (F.max("pos") - 1 + k).alias("char_end"),
     ).select(id_col, "char_start", "char_end")
+
+
+def char_span_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = K_CHARS, method: str = "literal", anchor_mod: int = 1,
+) -> DataFrame:
+    """(id, char_start, char_end): maximal duplicated character spans,
+    0-based half-open offsets — every char range covered by a k-window
+    whose exact content also occurs in a lower-id document.  The
+    earliest (min-id) occurrence of each window content is the owner
+    and keeps its text; within-doc repeats alone don't flag (same
+    min-owner semantics as the token-grain family).
+
+    ``anchor_mod > 1`` applies the content-defined pruning described
+    at char_state_update (the incremental twin's state dial) to the
+    batch path too, so batch-vs-incremental equivalence can be pinned
+    at the same selection; spans then snap to selected windows.
+
+    Owner join shape: exactly substring_spans' linear groupBy+join
+    (one owner row per window content, output bounded by the position
+    count, partial aggregation absorbs hot-window skew); islands merge
+    under a doc-keyed window bounded by document length."""
+    keys = _anchored(
+        char_window_keys(df, id_col, text_col, k, method), method, anchor_mod
+    )
+    kc = ["key_a", "key_b"] if method == "rank" else ["key"]
+    owners = keys.groupBy(*kc).agg(F.min(id_col).alias("_owner"))
+    flagged = (
+        keys.join(owners, kc)
+        .filter(F.col(id_col) > F.col("_owner"))
+        .select(id_col, "pos")
+    )
+    return _spans_from_flagged(flagged, id_col, k)
 
 
 def char_dedup_remove(
@@ -332,6 +378,123 @@ def char_dedup_remove(
 
 
 # --------------------------------------------------------------------------
+# incremental (cross-run) twin — persisted window-owner state
+# --------------------------------------------------------------------------
+
+#: oracle-row selection modulus (state ~1/3 size at fixture scale);
+#: production dials higher — see char_state_update's shape note
+ANCHOR_MOD = 3
+
+
+def char_state_update(
+    spark: SparkSession,
+    new_df: DataFrame,
+    state_out: str,
+    state_in: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_CHARS,
+    method: str = "rolling",
+    anchor_mod: int = 1,
+) -> None:
+    """Fold a new corpus slice into char-dedup state: one row per
+    distinct (selected) window content, ``(key, owner)`` with owner =
+    min doc id ever carrying it.  Min is the whole merge algebra, so a
+    fold over any disjoint-doc slice sequence equals the full-corpus
+    owner table exactly (test-pinned), and a later slice carrying a
+    smaller doc id takes ownership retroactively — retro-cleaning any
+    slice against FINAL state equals the batch spans restricted to it.
+    ``state_in=None`` bootstraps; no-op if ``state_out`` is already
+    complete (kill/re-submit safe, the line/simhash state pattern).
+    Content-keyed methods only ('rolling'/'hash'/'literal'): 'rank'
+    class ids are run-relative and cannot key cross-run state.
+
+    State-size dial (the reason this grain needs one: at one row per
+    char window, exact state is corpus-scale — ~16 B/window for the
+    int-key methods, 1e14 rows at 100 TB).  ``anchor_mod=s`` keeps
+    only windows whose content hash is 0 mod s (see _anchored): state
+    shrinks ~s-fold and a duplicated substring of length L is missed
+    with probability (1 - 1/s)^(L - k + 1) — about e^-t for
+    L = k + s*t, so s = 256 still catches >= 99% of duplicates longer
+    than ~k + 5*256 chars while cutting state to ~0.4% (~tens of TB of
+    ids at 100 TB corpus — the long-duplicate bulk-bytes regime this
+    grain exists for).  Pruning by occurrence count ("keep keys seen
+    >= 2x") would NOT be sound here: a window seen once in history
+    must still match its second occurrence arriving in a later slice.
+    s = 1 keeps the grain exact.
+
+    Per-run cost: the new slice's text is keyed once (the same narrow
+    O(chars) rolling pass as the batch path); the merge is one
+    key-keyed partial aggregation against state — no historical text
+    is ever re-read."""
+    import os
+
+    if os.path.exists(os.path.join(state_out, "_SUCCESS")):
+        return
+    char_state_merge(
+        spark, new_df, state_in, id_col, text_col, k, method, anchor_mod
+    ).write.mode("overwrite").parquet(state_out)
+
+
+def char_state_merge(
+    spark: SparkSession,
+    new_df: DataFrame,
+    state_in: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_CHARS,
+    method: str = "rolling",
+    anchor_mod: int = 1,
+) -> DataFrame:
+    """The lazy ``(key, owner)`` state after folding ``new_df`` into
+    ``state_in`` — char_state_update's computation without the sink
+    (bench prices it; tests compare it).  One narrow keying pass over
+    the new slice's text, one key-keyed partial aggregation for the
+    per-slice owners, one more for the merge against state."""
+    if method == "rank":
+        raise ValueError("method 'rank' has run-relative keys; "
+                         "use 'rolling', 'hash' or 'literal'")
+    keys = _anchored(
+        char_window_keys(new_df, id_col, text_col, k, method),
+        method, anchor_mod,
+    )
+    fresh = keys.groupBy("key").agg(F.min(id_col).alias("owner"))
+    if state_in is not None:
+        fresh = spark.read.parquet(state_in).unionByName(fresh)
+        fresh = fresh.groupBy("key").agg(F.min("owner").alias("owner"))
+    return fresh
+
+
+def char_duplicates_from_state(
+    spark: SparkSession,
+    df: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_CHARS,
+    method: str = "rolling",
+    anchor_mod: int = 1,
+) -> DataFrame:
+    """Duplicated char spans for ``df``'s docs against folded state —
+    drop-in for char_span_duplicates' output (same schema, feeds
+    char_dedup_remove).  Must be called with the same (k, method,
+    anchor_mod) the state was built with.  Against the FINAL state
+    this equals the batch spans restricted to ``df`` (test-pinned);
+    against an intermediate state it is the forward-pass answer
+    (duplicates of history seen so far)."""
+    keys = _anchored(
+        char_window_keys(df, id_col, text_col, k, method), method, anchor_mod
+    )
+    st = spark.read.parquet(state_dir)
+    flagged = (
+        keys.join(st, "key")
+        .filter(F.col(id_col) > F.col("owner"))
+        .select(id_col, "pos")
+    )
+    return _spans_from_flagged(flagged, id_col, k)
+
+
+# --------------------------------------------------------------------------
 # queries + oracles (dedup fixture corpus: exact replicas give whole-doc
 # spans, 'tail marker token' near-dups give PARTIAL spans — the shared
 # prefix is flagged in the higher-id copy, the tail survives)
@@ -351,16 +514,60 @@ def q_char_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_dedup_remove(corpus, char_span_duplicates(corpus))
 
 
-def _char_spans_ctes() -> str:
+def q_char_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the dedup corpus as three interleaved slices
+    (doc_id % 3 — duplicate docs carry +1M/+2M ids, so every slice
+    holds replicas of other slices' originals and cross-run ownership
+    is exercised in both directions) through anchored window-owner
+    state; spans for the whole corpus read from FINAL state.  The
+    oracle recomputes the anchored spans from the full corpus in one
+    batch — equality is the retro-clean contract, and the row doubles
+    as the oracle proof of the pruned-state selection itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from xjs.pipeline.dedup import dedup_corpus
+
+    corpus = dedup_corpus(spark, sf_dir)
+    base = tempfile.mkdtemp(
+        prefix="incr-char-", dir=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+    )
+    try:
+        prev = None
+        for day in range(3):
+            out = os.path.join(base, f"day{day}")
+            char_state_update(
+                spark, corpus.filter(F.col("doc_id") % 3 == day), out, prev,
+                method="literal", anchor_mod=ANCHOR_MOD,
+            )
+            prev = out
+        return char_duplicates_from_state(
+            spark, corpus, prev, method="literal", anchor_mod=ANCHOR_MOD
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _char_spans_ctes(anchor_mod: int = 1) -> str:
     from xjs.pipeline.dedup import DUCKDB_CORPUS_CTE
 
     k = K_CHARS
+    sel = (
+        ""
+        if anchor_mod <= 1
+        # same md5-hex->BIGINT arithmetic Spark's F.conv form computes
+        # (bit-identical, proven by the export_shards rows)
+        else f"\n      AND ('0x' || substr(md5(substr(text, i, {k})), 1, 15))"
+             f"::BIGINT % {anchor_mod} = 0"
+    )
     return f"""
 WITH {DUCKDB_CORPUS_CTE.strip()},
 wins AS (
     SELECT doc_id, i AS pos, substr(text, i, {k}) AS key
     FROM corpus, unnest(range(1, length(text) - {k} + 2)) AS r(i)
-    WHERE length(text) >= {k}
+    WHERE length(text) >= {k}{sel}
 ),
 owners AS (
     SELECT key, MIN(doc_id) AS owner FROM wins GROUP BY key
@@ -389,6 +596,12 @@ spans AS (
 
 def oracle_char_spans_sql() -> str:
     return _char_spans_ctes() + """
+SELECT doc_id, char_start, char_end FROM spans
+"""
+
+
+def oracle_char_incremental_sql() -> str:
+    return _char_spans_ctes(ANCHOR_MOD) + """
 SELECT doc_id, char_start, char_end FROM spans
 """
 
