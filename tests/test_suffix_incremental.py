@@ -61,8 +61,7 @@ def test_fold_equals_batch_owner_table(spark, corpus, state_base, anchor_mod):
                   method="rolling", anchor_mod=anchor_mod)
     folded = spark.read.parquet(final)
     batch = (
-        _anchored(char_window_keys(corpus, method="rolling"),
-                  "rolling", anchor_mod)
+        char_window_keys(corpus, method="rolling", anchor_mod=anchor_mod)
         .groupBy("key").agg(F.min("doc_id").alias("owner"))
     )
     assert folded.exceptAll(batch).count() == 0
@@ -149,6 +148,21 @@ def test_anchored_spans_nest_inside_exact_spans(spark, corpus):
             s <= r.char_start and r.char_end <= e
             for s, e in ex.get(r.doc_id, [])
         ), (r.doc_id, r.char_start, r.char_end)
+
+
+@pytest.mark.parametrize("mod", [3, 8])
+def test_rolling_anchor_pushdown_equals_post_filter(spark, corpus, mod):
+    """The rolling kernel's in-batch anchor mask must select exactly
+    the rows F.pmod(key, s) == 0 keeps on the unanchored output —
+    including a non-power-of-two modulus, where unsigned-% would
+    diverge from pmod on hashes >= 2^63 (the kernel uses the floored
+    int64 view for this reason)."""
+    pushed = char_window_keys(corpus, method="rolling", anchor_mod=mod)
+    post = _anchored(
+        char_window_keys(corpus, method="rolling"), "rolling", mod
+    )
+    assert pushed.count() == post.count() > 0
+    assert pushed.exceptAll(post).count() == 0
 
 
 def test_rank_method_refused_for_state_and_anchoring(spark, state_base):

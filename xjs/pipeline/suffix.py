@@ -96,7 +96,7 @@ def _relabel(
 
 
 def _rolling_keys(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, anchor_mod: int = 1
 ) -> DataFrame:
     """(id, pos, key): vectorized Rabin-Karp — every k-window's 64-bit
     polynomial hash in ONE O(N) numpy pass per Arrow batch, vs the
@@ -113,7 +113,17 @@ def _rolling_keys(
     (same ragged-range machinery as the gram cutter).  Collision
     stance: non-adversarial 64-bit, same as the repo's xxhash64/md5
     digests (polynomial hashes are weaker adversarially; the 'literal'
-    and 'rank' methods exist for exactness)."""
+    and 'rank' methods exist for exactness).
+
+    ``anchor_mod > 1`` pushes the content-defined selection (see
+    _anchored) into the kernel: the mask is evaluated on the hash
+    vector BEFORE any Arrow output materializes, so an anchored fold
+    emits ~1/s of the key rows instead of filtering them post-hoc —
+    selection semantics are exactly ``F.pmod(key, s) == 0`` on the
+    int64 view (numpy's % is floored like pmod, so the pushed and
+    post-filter forms agree bit-for-bit, including non-power-of-two
+    moduli where unsigned-% would diverge on hashes >= 2^63;
+    test-pinned)."""
     from xjs.pipeline.grams import _ragged_ranges
 
     dtypes = dict(df.dtypes)
@@ -162,6 +172,11 @@ def _rolling_keys(
                 np.cumsum(flat * powv[:n], out=pref[1:])
                 g = offsets[row_ids] + local_pos        # 0-based flat start
                 h = (pref[g + k] - pref[g]) * inv[g]
+                if anchor_mod > 1:
+                    keep = h.view(np.int64) % anchor_mod == 0
+                    h, row_ids, local_pos = h[keep], row_ids[keep], local_pos[keep]
+                    if len(h) == 0:
+                        continue
                 ids = batch.column(0).take(pa.array(row_ids))
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -177,25 +192,34 @@ def _rolling_keys(
 
 def char_window_keys(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = K_CHARS, method: str = "literal",
+    k: int = K_CHARS, method: str = "literal", anchor_mod: int = 1,
 ) -> DataFrame:
     """(id, pos, key...): one row per k-char window start (1-based pos),
     keyed so two rows carry equal keys iff their windows' contents are
     equal (exactly for 'literal'/'rank'; modulo 64-bit hashing for
     'hash'/'rolling').  Key columns: ``key`` for literal/hash/rolling,
-    ``key_a``+``key_b`` for rank."""
+    ``key_a``+``key_b`` for rank.  ``anchor_mod > 1`` applies the
+    content-defined selection (see _anchored); the rolling kernel
+    evaluates it BEFORE materializing output rows (~1/s emitted), the
+    other methods filter post-hoc — identical selected sets."""
     n_pos = F.length(F.col(text_col)) - k + 1
     if method == "rolling":
-        return _rolling_keys(df, id_col, text_col, k)
+        return _rolling_keys(df, id_col, text_col, k, anchor_mod)
     if method in ("literal", "hash"):
         win = F.col(text_col).substr(F.col("pos"), F.lit(k))
         key = F.xxhash64(win) if method == "hash" else win
-        return (
+        keys = (
             _positions(df.filter(F.length(text_col) >= k), id_col, text_col, n_pos)
             .select(id_col, "pos", key.alias("key"))
         )
+        return _anchored(keys, method, anchor_mod)
     if method != "rank":
         raise ValueError(f"unknown method {method!r}")
+    if anchor_mod > 1:
+        raise ValueError(
+            "anchor_mod needs a content-defined key; method 'rank' "
+            "has run-relative keys"
+        )
 
     # prefix doubling: ranks over ALL positions 1..len (doubling consults
     # r_d at p+d for p beyond the window universe; blocks consulted by
@@ -308,9 +332,7 @@ def char_span_duplicates(
     (one owner row per window content, output bounded by the position
     count, partial aggregation absorbs hot-window skew); islands merge
     under a doc-keyed window bounded by document length."""
-    keys = _anchored(
-        char_window_keys(df, id_col, text_col, k, method), method, anchor_mod
-    )
+    keys = char_window_keys(df, id_col, text_col, k, method, anchor_mod)
     kc = ["key_a", "key_b"] if method == "rank" else ["key"]
     owners = keys.groupBy(*kc).agg(F.min(id_col).alias("_owner"))
     flagged = (
@@ -454,10 +476,7 @@ def char_state_merge(
     if method == "rank":
         raise ValueError("method 'rank' has run-relative keys; "
                          "use 'rolling', 'hash' or 'literal'")
-    keys = _anchored(
-        char_window_keys(new_df, id_col, text_col, k, method),
-        method, anchor_mod,
-    )
+    keys = char_window_keys(new_df, id_col, text_col, k, method, anchor_mod)
     fresh = keys.groupBy("key").agg(F.min(id_col).alias("owner"))
     if state_in is not None:
         fresh = spark.read.parquet(state_in).unionByName(fresh)
@@ -482,9 +501,7 @@ def char_duplicates_from_state(
     this equals the batch spans restricted to ``df`` (test-pinned);
     against an intermediate state it is the forward-pass answer
     (duplicates of history seen so far)."""
-    keys = _anchored(
-        char_window_keys(df, id_col, text_col, k, method), method, anchor_mod
-    )
+    keys = char_window_keys(df, id_col, text_col, k, method, anchor_mod)
     st = spark.read.parquet(state_dir)
     flagged = (
         keys.join(st, "key")
@@ -530,10 +547,10 @@ def q_char_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xjs.pipeline.dedup import dedup_corpus
 
     corpus = dedup_corpus(spark, sf_dir)
-    base = tempfile.mkdtemp(
-        prefix="incr-char-", dir=os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".tmp")
-    )
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="incr-char-", dir=scratch)
     try:
         prev = None
         for day in range(3):
