@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_dedup_spans": suffix.q_char_spans,
         "char_dedup_remove": suffix.q_char_remove,
         "char_dedup_incremental": suffix.q_char_incremental,
+        "boilerplate_incremental": boilerplate.q_boilerplate_incremental,
         "token_count_real": bpe.q_token_count_real,
         "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
         "dedup_incremental": incremental.q_dedup_incremental,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "char_dedup_spans": suffix.oracle_char_spans_sql(),
         "char_dedup_remove": suffix.oracle_char_remove_sql(),
         "char_dedup_incremental": suffix.oracle_char_incremental_sql(),
+        "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),
         "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
         "dedup_incremental": incremental.oracle_dedup_incremental_sql(),

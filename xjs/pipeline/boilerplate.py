@@ -329,6 +329,119 @@ def boilerplate_flag_and_clean(
     )
 
 
+# --------------------------------------------------------------------------
+# incremental (cross-run) twin — persisted document-frequency state
+# --------------------------------------------------------------------------
+
+
+def _state_complete(state_dir: str) -> bool:
+    import os
+
+    return all(
+        os.path.exists(os.path.join(state_dir, sub, "_SUCCESS"))
+        for sub in ("grams", "totals")
+    )
+
+
+def boilerplate_state_update(
+    spark: SparkSession,
+    new_df: DataFrame,
+    state_out: str,
+    state_in: str | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = NGRAM,
+    edge_tokens: int | None = 32,
+    builder: str = "arrow",
+) -> None:
+    """Fold a new corpus slice into boilerplate-detection state.  Both
+    state tables are pure sums over disjoint-doc slices — ``grams``
+    (group, gram, n_docs_with): each doc contributes once per distinct
+    edge-window gram it carries (the per-batch combine already emits
+    distinct-per-doc partials); ``totals`` (group, n_docs) — so SUM is
+    the entire merge algebra and any fold order equals the single-pass
+    batch aggregation exactly (test-pinned).  The detection THRESHOLD
+    is deliberately not baked into state: raw counts fold exactly,
+    thresholds don't (a gram can cross tau only after later slices),
+    so tau applies at read time (boilerplate_from_state) and one state
+    serves any threshold.  ``state_in=None`` bootstraps; no-op when
+    ``state_out`` is complete (kill/re-submit safe).
+
+    100 TB shape: one cutter pass over the NEW slice's text (the same
+    narrow Arrow stage the batch path uses), two key-keyed partial
+    aggregations against state; per-source gram vocabulary — not the
+    corpus — bounds state size, and historical text is never re-read."""
+    import os
+
+    if _state_complete(state_out):
+        return
+    fresh_g = _per_doc_gram_counts(
+        new_df, group_col, text_col, n, edge_tokens, builder
+    ).groupBy(group_col, "gram").agg(F.sum("cnt").alias("n_docs_with"))
+    fresh_t = new_df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if state_in is not None:
+        old_g = spark.read.parquet(os.path.join(state_in, "grams"))
+        fresh_g = old_g.unionByName(fresh_g).groupBy(group_col, "gram").agg(
+            F.sum("n_docs_with").alias("n_docs_with")
+        )
+        old_t = spark.read.parquet(os.path.join(state_in, "totals"))
+        fresh_t = old_t.unionByName(fresh_t).groupBy(group_col).agg(
+            F.sum("n_docs").alias("n_docs")
+        )
+    fresh_g.write.mode("overwrite").parquet(os.path.join(state_out, "grams"))
+    fresh_t.write.mode("overwrite").parquet(os.path.join(state_out, "totals"))
+
+
+def boilerplate_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_col: str = "source",
+    thresh_num: int = THRESH_NUM,
+    thresh_den: int = THRESH_DEN,
+) -> DataFrame:
+    """The ``boilerplate_grams_edges`` answer over everything folded so
+    far, computed from state alone (same schema — feeds
+    boilerplate_remove / boilerplate_flag_and_clean unchanged)."""
+    import os
+
+    grams = spark.read.parquet(os.path.join(state_dir, "grams"))
+    totals = spark.read.parquet(os.path.join(state_dir, "totals"))
+    return grams.join(F.broadcast(totals), group_col).where(
+        F.col("n_docs_with") * thresh_den >= thresh_num * F.col("n_docs")
+    )
+
+
+def q_boilerplate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the page corpus as three interleaved slices (doc_id % 3)
+    through document-frequency state; the oracle recomputes detection
+    from the full corpus in one batch (sums of disjoint slices fold
+    exactly, so the answers are identical)."""
+    import os
+    import shutil
+    import tempfile
+
+    corpus = edge_regime_corpus(spark, sf_dir)
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+    os.makedirs(scratch, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="incr-bp-", dir=scratch)
+    try:
+        prev = None
+        for day in range(3):
+            out = os.path.join(base, f"day{day}")
+            boilerplate_state_update(
+                spark, corpus.filter(F.col("doc_id") % 3 == day), out, prev
+            )
+            prev = out
+        return boilerplate_from_state(spark, prev).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_boilerplate_incremental_sql() -> str:
+    return oracle_boilerplate_grams_edges_sql()
+
+
 def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detection + removal composed over the page-length corpus: strip
     each source's edge-window boilerplate from every document."""
