@@ -594,3 +594,49 @@ def test_streaming_line_clean_equals_batch(spark, sf_dir, tmp):
         F.col("clean_text").contains("copyright notice all rights reserved")
     ).count()
     assert n_banner == 1
+
+
+def test_streaming_char_clean_equals_batch(spark, sf_dir, tmp):
+    """Char-grain cleaning against a folded window-owner state, applied
+    per micro-batch, must byte-match the batch retro-clean of the same
+    corpus against the same state — owner docs keep their text
+    whichever micro-batch they arrive in."""
+    from xjs.pipeline.dedup import dedup_corpus
+    from xjs.pipeline.suffix import (
+        char_dedup_remove,
+        char_duplicates_from_state,
+        char_state_update,
+    )
+    from xjs.streaming import run_char_clean_availablenow
+
+    corpus = dedup_corpus(spark, sf_dir)
+    state = f"{tmp}/state"
+    char_state_update(spark, corpus, state, method="rolling", anchor_mod=4)
+
+    corpus.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/in/b1")
+    corpus.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/in/b2")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")  # force >1 micro-batch
+        .parquet(f"{tmp}/in")
+    )
+    run_char_clean_availablenow(
+        stream, state, f"{tmp}/out", f"{tmp}/ckpt",
+        method="rolling", anchor_mod=4,
+    )
+
+    got = spark.read.parquet(f"{tmp}/out").drop("batch_id")
+    expected = char_dedup_remove(
+        corpus,
+        char_duplicates_from_state(
+            spark, corpus, state, method="rolling", anchor_mod=4
+        ),
+    )
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected.select(got.columns)).count() == 0
+    assert expected.select(got.columns).exceptAll(got).count() == 0
+    # duplicates were actually cut: some doc shrank
+    assert got.join(
+        corpus, "doc_id"
+    ).filter(F.length("clean_text") < F.length("text")).count() > 0

@@ -441,6 +441,59 @@ def run_line_clean_availablenow(
     q.awaitTermination()
 
 
+def run_char_clean_availablenow(
+    stream_df: DataFrame,
+    state_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    method: str = "rolling",
+    anchor_mod: int = 1,
+) -> None:
+    """Streaming twin of char-grain exact-substring cleaning
+    (pipeline.suffix): each micro-batch's documents are keyed, probed
+    against the FOLDED window-owner state (built by char_state_update
+    — batch or the daily-ingest job), and duplicated >= k-char spans
+    are spliced out byte-faithfully via the identical batch code path
+    (char_duplicates_from_state -> char_dedup_remove).  Owner docs
+    named by the state keep their text whichever micro-batch they
+    arrive in; stateless given the snapshot, so no watermark — the
+    same fixed-snapshot contract as the boilerplate and line twins.
+    Must be called with the (k, method, anchor_mod) the state was
+    built with.  Output goes through ``idempotent_batch_write`` so
+    at-least-once replays overwrite instead of appending."""
+    from xjs.pipeline.suffix import (
+        K_CHARS,
+        char_dedup_remove,
+        char_duplicates_from_state,
+    )
+
+    kk = K_CHARS if k is None else k
+    spark = stream_df.sparkSession
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        spans = char_duplicates_from_state(
+            spark, batch_df, state_dir, id_col=id_col, text_col=text_col,
+            k=kk, method=method, anchor_mod=anchor_mod,
+        )
+        idempotent_batch_write(
+            char_dedup_remove(batch_df, spans, id_col=id_col,
+                              text_col=text_col),
+            out_path,
+            batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_availablenow(
     stream_df: DataFrame,
     plan: CheckPlan,
