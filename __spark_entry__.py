@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": export.q_export_shards,
         "export_shards_sized": export.q_export_shards_sized,
         "text_pii": pii.q_text_pii,  # marker-prefilter landed r5
+        # hybrid edge cutter became the auto default (r5 cont.): the two
+        # queries whose plans route through edge-mode gram cutting need
+        # post-change driver rows
+        "boilerplate_grams_edges": boilerplate.q_boilerplate_grams_edges,
+        "boilerplate_remove": boilerplate.q_boilerplate_remove,
         "mixture_sample": mixture.q_mixture_sample,
         "lm_perplexity": lm.q_lm_perplexity,
         "lm_perplexity_trigram": lm.q_lm_perplexity_trigram,
@@ -124,8 +129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_assign": similarity.ivf_assignments,
         "similarity_ivf_topk": similarity.ivf_topk,
         "pack_sequences_global": packing.q_pack_sequences_global,
-        "boilerplate_grams_edges": boilerplate.q_boilerplate_grams_edges,
-        "boilerplate_remove": boilerplate.q_boilerplate_remove,
         "text_langid_model": text.q_text_langid_model,
         "drift_ks": drift.webpages_drift_ks,
         "static_composition": dynamic_spark.q_static_composition,
