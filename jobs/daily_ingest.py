@@ -84,6 +84,14 @@ def main() -> None:
 
     t0 = time.time()
     done_marker = os.path.join(args.out, "_DONE")
+    if args.state_in and not os.path.exists(
+        os.path.join(args.state_in, "_DONE")
+    ):
+        raise SystemExit(
+            f"--state-in {args.state_in} is not a completed day "
+            "(no _DONE marker): re-run that day first — chaining onto "
+            "partial state would mix lineages silently"
+        )
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     corpus = line_page_transform(docs.select("doc_id", "text"))
     sl = corpus.filter(args.filter)

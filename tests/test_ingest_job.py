@@ -141,3 +141,26 @@ def test_completed_day_replays_as_noop(ingest):
     assert replay.get("replay") is True
     for k in ("n_docs_slice", "n_char_state_rows", "n_components"):
         assert replay[k] == manifests[2][k], k
+
+
+def test_refuses_partial_previous_day(ingest):
+    """Chaining onto a day without a _DONE marker must fail fast —
+    mixed-lineage state is worse than a crashed run."""
+    base, _, filters = ingest
+    partial = os.path.join(base, "partialday")
+    os.makedirs(partial, exist_ok=True)  # exists but never completed
+    proc = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master", "local[4]",
+            "--py-files", os.path.join(REPO, "dist", "xjs.zip"),
+            os.path.join(REPO, "jobs", "daily_ingest.py"),
+            "--input", "/root/testdata/sf0.001",
+            "--out", os.path.join(base, "day3"),
+            "--filter", filters[2],
+            "--state-in", partial,
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode != 0
+    assert "not a completed day" in (proc.stderr + proc.stdout)
