@@ -43,23 +43,25 @@ _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 # against 'native' in tests/test_grams.py, and itself pinned against the
 # pure-Catalyst HOF form).
 #
-# 'auto' (the default) picks per MODE, from two interleaved 1M-doc A/Bs
+# 'auto' (the default) picks per MODE, from interleaved 1M-doc A/Bs
 # (BENCH/ab_gram_native_r5.json, BENCH/ab_gram_hybrid_r5.json): native
 # wins full-document cuts (1.2-1.3x — the whole doc must be tokenized
-# anyway, and C++ beats the per-doc loop); EDGE-window cuts on
-# page-length docs go to 'hybrid' (python maxsplit-bounded extraction +
-# Arrow/numpy windowing), which beats the pure-python loop 1.10-1.25x
-# and the native path 1.01-1.14x: the bounded split never tokenizes the
-# page middle (Arrow has no bounded split, so 'native' tokenizes all
-# ~600 tokens to keep 64), while the windowing/join work — the other
-# half of the python loop's cost — vectorizes.  Measured policy, not a
-# guess.
+# anyway, and C++ beats the per-doc loop); EDGE-window cuts stay on the
+# python per-doc loop (its maxsplit-bounded split never tokenizes the
+# page middle; Arrow has no bounded split, so 'native' loses 0.6-1.0x
+# here).  'hybrid' (python bounded extraction + Arrow/numpy windowing)
+# was built to vectorize the loop's other half and measured a TIE
+# WITHIN HOST NOISE vs python across three interleaved sessions
+# (hybrid/python 0.78-1.25x, winner flipping with ambient load and
+# per-mode shape) — not enough evidence to displace the incumbent, so
+# the default stays python and hybrid remains selectable.  Measured
+# policy, not a guess.
 IMPL = "auto"
 
 
 def _resolve_impl(impl: str, edge_tokens: int | None) -> str:
     if impl == "auto":
-        return "hybrid" if edge_tokens is not None else "native"
+        return "python" if edge_tokens is not None else "native"
     return impl
 
 
