@@ -26,6 +26,7 @@ from xjs.flagship import (  # noqa: E402
     oracle_violations_sql,
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
+from xjs.sources import jsonl  # noqa: E402
 from xjs.checks import drift, freshness, monotonicity, outliers, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import (  # noqa: E402
     asof,
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_dedup_remove": suffix.q_char_remove,
         "char_dedup_incremental": suffix.q_char_incremental,
         "boilerplate_incremental": boilerplate.q_boilerplate_incremental,
+        "jsonl_ingest_clean": jsonl.q_jsonl_ingest_clean,
+        "jsonl_ingest_quarantine": jsonl.q_jsonl_ingest_quarantine,
         "token_count_real": bpe.q_token_count_real,
         "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
         "dedup_incremental": incremental.q_dedup_incremental,
@@ -181,6 +184,8 @@ def oracle_sql() -> dict[str, str]:
         "char_dedup_remove": suffix.oracle_char_remove_sql(),
         "char_dedup_incremental": suffix.oracle_char_incremental_sql(),
         "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
+        "jsonl_ingest_clean": jsonl.oracle_jsonl_clean_sql(),
+        "jsonl_ingest_quarantine": jsonl.oracle_jsonl_quarantine_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),
         "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
         "dedup_incremental": incremental.oracle_dedup_incremental_sql(),
