@@ -455,6 +455,25 @@ def build_queries(spark, sf_dir: str, factor: int):
 
         return force(lm_filter(wp().select("doc_id", "text")))
 
+    # JSONL ingest fixture at bench scale: 1M JSON lines derived from
+    # the materialized page table (cached like every other artifact) —
+    # the row prices the schema-enforced JSON scan + clean/quarantine
+    # split, the pipeline's first stage
+    from xjs.sources.jsonl import _line as _jsonl_line
+
+    jl_path = wp_path + "-jsonl-v1"
+    if not os.path.exists(os.path.join(jl_path, "_SUCCESS")):
+        spark.read.parquet(wp_path).select(
+            _jsonl_line(F.col("doc_id"), F.col("source"), F.col("text"),
+                        F.col("lang")).alias("value")
+        ).write.mode("overwrite").text(jl_path)
+
+    def q_jsonl_ingest():
+        from xjs.sources.jsonl import read_jsonl_webpages
+
+        clean, _ = read_jsonl_webpages(spark, jl_path)
+        return force(clean)
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -506,6 +525,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "mixture_sample": q_mixture,
         "html_extract": q_html_extract,
         "lm_perplexity": q_lm_perplexity,
+        "jsonl_ingest": q_jsonl_ingest,
         "dynamic_json_udf": q_dynamic_udf,
     }
 
