@@ -26,7 +26,7 @@ from xjs.flagship import (  # noqa: E402
     oracle_violations_sql,
 )
 from xjs.sources.webpages import DUCKDB_CTE  # noqa: E402
-from xjs.sources import jsonl  # noqa: E402
+from xjs.sources import jsonl, warc  # noqa: E402
 from xjs.checks import drift, freshness, monotonicity, outliers, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import (  # noqa: E402
     asof,
@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new or changed in round 5: inside the 50-row window so
         # every one gets its FIRST (or post-change) driver row now ---
+        "warc_ingest_clean": warc.q_warc_ingest_clean,
+        "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
         "char_dedup_spans": suffix.q_char_spans,
         "char_dedup_remove": suffix.q_char_remove,
         "char_dedup_incremental": suffix.q_char_incremental,
@@ -184,6 +186,8 @@ def oracle_sql() -> dict[str, str]:
         "char_dedup_remove": suffix.oracle_char_remove_sql(),
         "char_dedup_incremental": suffix.oracle_char_incremental_sql(),
         "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
+        "warc_ingest_clean": warc.oracle_warc_clean_sql(),
+        "warc_ingest_quarantine": warc.oracle_warc_quarantine_sql(),
         "jsonl_ingest_clean": jsonl.oracle_jsonl_clean_sql(),
         "jsonl_ingest_quarantine": jsonl.oracle_jsonl_quarantine_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),

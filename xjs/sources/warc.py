@@ -1,0 +1,336 @@
+"""WARC/WET crawl ingestion — the format Common-Crawl actually ships.
+
+Everything upstream of this engine arrives as WARC (ISO 28500)
+container files: raw crawls as ``.warc.gz`` response records, the
+extracted-text sidecars (WET) as ``conversion`` records whose payload
+is the page text and whose headers carry URI, capture date, and the
+identified content language.  ``read_warc_wet`` turns a directory of
+``.warc`` / ``.warc.gz`` shards into a records DataFrame, and
+``split_clean_quarantine`` applies the same nothing-silently-dropped
+ledger contract as the JSONL reader (sources/jsonl.py): every
+conversion record lands in exactly one of
+
+  clean        URI present, WARC-Date parses -> the webpages table shape
+  quarantine   reason ('missing_uri' | 'bad_date') + record_id + the
+               raw offending header value, so the row stays debuggable
+
+Parsing is per-FILE, not per-row: ``spark.read.format("binaryFile")``
+yields one row per shard, and a ``mapInPandas`` pass runs a single
+linear scan over the shard's bytes (header block -> Content-Length ->
+payload slice -> next record).  Gzip shards are the real Common-Crawl
+layout — one gzip MEMBER per record, concatenated — which Python's
+zlib/gzip multi-member decode reassembles in one streaming pass.
+
+100 TB shape: Common-Crawl shards are ~1 GB each and a crawl is tens
+of thousands of them, so FILE-grain parallelism saturates any cluster
+without splitting inside a shard (binaryFile intentionally never
+splits a file; gzip members make mid-file splits useless anyway).
+The parse is one narrow pass, the clean/quarantine split is two
+filters over one projection — zero shuffles end to end.  Per-task
+memory is one shard (~1 GB decompressed) — the same boundedness class
+as any WARC consumer, and why crawl pipelines keep shards ~1 GB.
+
+Fixture + constructive oracle: ``write_warc_fixture`` derives WET
+shards deterministically from the driver's ``documents`` table
+(url/warc_ts formulas shared with sources/jsonl.py), with corruption
+at fixed residues (%13==5: WARC-Target-URI header omitted; %13==9:
+WARC-Date unparseable).  The DuckDB oracles restate the generator
+over ``documents`` directly — no WARC parsing in the oracle — so the
+green rows prove reader + splitter invert the generator exactly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH = "2024-01-01 00:00:00"
+CORRUPT_MOD = 13
+RES_NO_URI = 5    # doc_id % 13 == 5 -> WARC-Target-URI omitted
+RES_BAD_DATE = 9  # doc_id % 13 == 9 -> WARC-Date unparseable
+WARC_VERSION = 1  # bump to rebuild cached fixtures
+N_SHARDS = 8
+
+RECORD_SCHEMA = (
+    "record_id string, warc_type string, url string, date_raw string, "
+    "lang string, content_type string, text string"
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# record-stream parser (one linear pass per shard)
+# ---------------------------------------------------------------------------
+
+
+def parse_warc_records(buf: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record from a decompressed shard.
+
+    Single forward scan: header block ends at the first blank line
+    (CRLFCRLF), ``Content-Length`` sizes the payload slice, and the
+    spec's two-CRLF record separator positions the next record.  A
+    shard whose framing breaks (no Content-Length / bad integer)
+    cannot be advanced safely past the break, so the remainder is
+    surfaced as one ``warc_type='__frame_error__'`` record rather
+    than silently truncated — the ledger contract at file grain.
+    """
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # tolerate separator CRLFs between records
+        while buf.startswith(CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return
+        head_end = buf.find(CRLF + CRLF, pos)
+        if head_end < 0 or not buf.startswith(b"WARC/", pos):
+            yield {"warc_type": "__frame_error__",
+                   "text": f"unframed bytes at offset {pos}"}
+            return
+        headers: dict[str, str] = {}
+        head = buf[pos:head_end].decode("utf-8", errors="replace")
+        for line in head.split("\r\n")[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            yield {"warc_type": "__frame_error__",
+                   "text": f"bad Content-Length at offset {pos}"}
+            return
+        body_start = head_end + 4
+        payload = buf[body_start:body_start + length]
+        yield {
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": headers.get("warc-type"),
+            "url": headers.get("warc-target-uri"),
+            "date_raw": headers.get("warc-date"),
+            "lang": headers.get("warc-identified-content-language"),
+            "content_type": headers.get("content-type"),
+            "text": payload.decode("utf-8", errors="replace"),
+        }
+        pos = body_start + length
+
+
+def _decompress(content: bytes) -> bytes:
+    """Concatenated per-record gzip members (the Common-Crawl layout)
+    decode in one pass — gzip.decompress handles multi-member
+    streams."""
+    if content[:2] == _GZIP_MAGIC:
+        return gzip.decompress(content)
+    return content
+
+
+def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of .warc/.warc.gz shards -> one row per WARC record.
+
+    File-grain tasks (binaryFile), one linear parse per shard inside
+    mapInPandas — Arrow-batched, no shuffle, no per-row Python UDF.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["record_id", "warc_type", "url", "date_raw", "lang",
+                "content_type", "text"]
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc_records(_decompress(bytes(content))):
+                    rows.append([rec.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("content").mapInPandas(parse, RECORD_SCHEMA)
+
+
+def split_clean_quarantine(records: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Conversion records -> (clean, quarantine); nothing dropped.
+
+    clean:      record_id, url, warc_ts (timestamp), text, lang
+    quarantine: record_id, reason ('missing_uri' | 'bad_date'), raw
+    """
+    conv = records.filter(F.col("warc_type") == "conversion")
+    ts = F.try_to_timestamp(
+        F.col("date_raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    )
+    parsed = conv.select(
+        "record_id", "url", ts.alias("_ts"), "text", "lang", "date_raw"
+    )
+    clean = parsed.filter(
+        F.col("url").isNotNull() & F.col("_ts").isNotNull()
+    ).select("record_id", "url", F.col("_ts").alias("warc_ts"),
+             "text", "lang")
+    quarantine = parsed.filter(
+        F.col("url").isNull() | F.col("_ts").isNull()
+    ).select(
+        "record_id",
+        F.when(F.col("url").isNull(), F.lit("missing_uri"))
+        .otherwise(F.lit("bad_date")).alias("reason"),
+        F.when(F.col("url").isNull(), F.lit("<no WARC-Target-URI>"))
+        .otherwise(F.col("date_raw")).alias("raw"),
+    )
+    return clean, quarantine
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture (WET shards derived from the documents table)
+# ---------------------------------------------------------------------------
+
+
+def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("utf-8") for k, v in headers
+    )
+    return (head + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + CRLF + CRLF)
+
+
+def _doc_record(doc_id: int, source: str, text: str, lang: str) -> bytes:
+    payload = (text or "").encode("utf-8")
+    headers = [("WARC-Type", "conversion"),
+               ("WARC-Record-ID", f"<urn:xjs:doc:{doc_id}>")]
+    if doc_id % CORRUPT_MOD != RES_NO_URI:
+        headers.append(
+            ("WARC-Target-URI",
+             f"https://{source}.example.com/doc/{doc_id}"))
+    if doc_id % CORRUPT_MOD == RES_BAD_DATE:
+        date = "not-a-date"
+    else:
+        ts = pd.Timestamp(EPOCH) + pd.Timedelta(seconds=int(doc_id))
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    headers += [("WARC-Date", date),
+                ("WARC-Identified-Content-Language", lang or ""),
+                ("Content-Type", "text/plain")]
+    return _record_bytes(headers, payload)
+
+
+def _warcinfo(shard: int) -> bytes:
+    payload = b"software: xjs-fixture\r\nformat: WARC File Format 1.0\r\n"
+    return _record_bytes(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Record-ID", f"<urn:xjs:warcinfo:{shard}>"),
+         ("WARC-Date", "2024-01-01T00:00:00Z"),
+         ("Content-Type", "application/warc-fields")],
+        payload,
+    )
+
+
+def write_warc_fixture(
+    spark: SparkSession, sf_dir: str, out_path: str, compress: bool = False
+) -> str:
+    """documents.parquet -> N_SHARDS WET files (cached; _SUCCESS guard).
+
+    Shard assignment/content are pure functions of doc_id, so rebuilds
+    are byte-deterministic.  Each shard is written by its own group
+    task (applyInPandas at shard grain — the writer parallelism IS the
+    shard count, exactly how crawl exporters shape their output); with
+    ``compress`` each record is its own gzip member (mtime pinned) —
+    the real Common-Crawl layout.
+    """
+    done = os.path.join(out_path, "_SUCCESS")
+    if os.path.exists(done):
+        return out_path
+    os.makedirs(out_path, exist_ok=True)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text", "lang",
+        F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).alias("shard"),
+    )
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = [_warcinfo(shard)] + [
+            _doc_record(int(r.doc_id), r.source, r.text, r.lang)
+            for r in pdf.itertuples()
+        ]
+        if compress:
+            blob = b"".join(
+                gzip.compress(r, compresslevel=1, mtime=0) for r in recs
+            )
+        else:
+            blob = b"".join(recs)
+        with open(os.path.join(out_path, f"shard-{shard:04d}{ext}"),
+                  "wb") as fh:
+            fh.write(blob)
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    d.groupBy("shard").applyInPandas(
+        write_shard, "shard int, n long"
+    ).collect()  # bounded: N_SHARDS rows — fixture tooling, not a hot path
+    with open(done, "w") as fh:
+        fh.write("")
+    return out_path
+
+
+# ---------------------------------------------------------------------------
+# queries + constructive oracles
+# ---------------------------------------------------------------------------
+
+
+def _fixture_path(sf_dir: str, compress: bool) -> str:
+    import re
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/").split("/")[-1])
+    gz = "gz" if compress else "plain"
+    os.makedirs(os.path.join(repo, ".tmp"), exist_ok=True)
+    return os.path.join(repo, ".tmp", f"warc-{tag}-{gz}-v{WARC_VERSION}")
+
+
+def _ingest(spark: SparkSession, sf_dir: str,
+            compress: bool) -> tuple[DataFrame, DataFrame]:
+    path = write_warc_fixture(
+        spark, sf_dir, _fixture_path(sf_dir, compress), compress=compress)
+    return split_clean_quarantine(read_warc_wet(spark, path))
+
+
+def q_warc_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean WET rows with doc_id recovered from the fixture's
+    record-id convention (<urn:xjs:doc:{id}>) — gzip path, the real
+    Common-Crawl layout."""
+    clean, _ = _ingest(spark, sf_dir, compress=True)
+    return clean.select(
+        F.regexp_extract("record_id", r"urn:xjs:doc:(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "url", "warc_ts", "text", "lang",
+    )
+
+
+def q_warc_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, quarantine = _ingest(spark, sf_dir, compress=True)
+    return quarantine.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+def oracle_warc_clean_sql() -> str:
+    # the generator restated over documents: rows outside the two
+    # corruption residues, url/warc_ts by the shared formulas
+    return f"""
+SELECT doc_id,
+       'https://' || source || '.example.com/doc/' || doc_id AS url,
+       TIMESTAMP '{EPOCH}' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       text,
+       lang
+FROM documents
+WHERE doc_id % {CORRUPT_MOD} NOT IN ({RES_NO_URI}, {RES_BAD_DATE})
+"""
+
+
+def oracle_warc_quarantine_sql() -> str:
+    return f"""
+SELECT reason, COUNT(*) AS n FROM (
+    SELECT CASE WHEN doc_id % {CORRUPT_MOD} = {RES_NO_URI}
+                THEN 'missing_uri' ELSE 'bad_date' END AS reason
+    FROM documents
+    WHERE doc_id % {CORRUPT_MOD} IN ({RES_NO_URI}, {RES_BAD_DATE})
+) GROUP BY reason
+"""
