@@ -30,6 +30,7 @@ from xjs.sources import jsonl, warc  # noqa: E402
 from xjs.checks import drift, freshness, monotonicity, outliers, referential, stats, uniqueness  # noqa: E402
 from xjs.pipeline import (  # noqa: E402
     asof,
+    bloom,
     boilerplate,
     bpe,
     clusters,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every one gets its FIRST (or post-change) driver row now ---
         "warc_ingest_clean": warc.q_warc_ingest_clean,
         "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
+        "bloom_novel_urls": bloom.q_bloom_novel_urls,
         "char_dedup_spans": suffix.q_char_spans,
         "char_dedup_remove": suffix.q_char_remove,
         "char_dedup_incremental": suffix.q_char_incremental,
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
         "warc_ingest_clean": warc.oracle_warc_clean_sql(),
         "warc_ingest_quarantine": warc.oracle_warc_quarantine_sql(),
+        "bloom_novel_urls": bloom.oracle_bloom_novel_sql(),
         "jsonl_ingest_clean": jsonl.oracle_jsonl_clean_sql(),
         "jsonl_ingest_quarantine": jsonl.oracle_jsonl_quarantine_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),
