@@ -474,6 +474,39 @@ def build_queries(spark, sf_dir: str, factor: int):
         clean, _ = read_jsonl_webpages(spark, jl_path)
         return force(clean)
 
+    # WARC ingest at bench scale: the same 1M pages framed as 64
+    # gzip-member WET shards (the real Common-Crawl layout; cached) —
+    # prices the file-grain parse + clean/quarantine split
+    warc_path = wp_path + "-warc-v1"
+
+    def q_warc_ingest():
+        from xjs.sources.warc import (
+            read_warc_wet, split_clean_quarantine, write_warc_fixture,
+        )
+
+        write_warc_fixture(
+            spark, sf_dir, warc_path, compress=True,
+            df=spark.read.parquet(wp_path).select(
+                "doc_id", "source", "text", "lang"),
+            n_shards=64,
+        )
+        clean, _ = split_clean_quarantine(read_warc_wet(spark, warc_path))
+        return force(clean)
+
+    def q_bloom_novel():
+        # bloom prefilter at scale: 500k history urls -> bit array,
+        # ~333k probes, exact verify join only over the survivors
+        from xjs.pipeline.bloom import novel_keys
+
+        pages = spark.read.parquet(wp_path).select(
+            "doc_id",
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/p/"),
+                     F.col("doc_id").cast("string")).alias("url"))
+        hist = pages.filter(F.col("doc_id") % 2 == 0).select("url")
+        new = pages.filter(F.col("doc_id") % 3 == 0)
+        return force(novel_keys(new, hist, "url", n_bits=1 << 23, k=5))
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -526,6 +559,8 @@ def build_queries(spark, sf_dir: str, factor: int):
         "html_extract": q_html_extract,
         "lm_perplexity": q_lm_perplexity,
         "jsonl_ingest": q_jsonl_ingest,
+        "warc_ingest": q_warc_ingest,
+        "bloom_novel": q_bloom_novel,
         "dynamic_json_udf": q_dynamic_udf,
     }
 

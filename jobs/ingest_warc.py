@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: raw WARC/WET crawl shards -> a validated,
+optionally novelty-gated day slice (the pipeline head in front of
+jobs/daily_ingest.py).
+
+    spark-submit --master 'local-cluster[4,4,3072]' \
+        --py-files dist/xjs.zip \
+        jobs/ingest_warc.py \
+        --input /data/crawl/2024-01-01 --out /data/slices/day0 \
+        [--history-urls /data/state/urls.parquet]
+
+Stages (each its own stored artifact, so a failed stage re-runs alone):
+
+  clean/        conversion records whose URI + WARC-Date parse
+  quarantine/   reason-attributed rejects (missing_uri | bad_date)
+  novel/        (only with --history-urls) clean rows whose url is
+                ABSENT from the history table — bloom prefilter +
+                exact anti-join verify of the survivors, so the
+                row-bearing shuffle is proportional to the duplicate
+                rate, not the crawl
+
+Frame errors (shards whose WARC framing breaks mid-file) are counted
+in the manifest and the job FAILS (exit 4) if any appear unless
+``--tolerate-frame-errors`` — a framing break means part of a shard
+was unreadable, which must be an operator decision, never a default.
+
+The manifest (one JSON line on stdout, also stored) carries exact row
+accounting: every parsed record lands in exactly one of the counted
+classes.  A completed run (_DONE marker) replays as a no-op with the
+stored manifest — the daily_ingest idempotence contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir of .warc/.warc.gz shards")
+    ap.add_argument("--out", required=True, help="output slice dir")
+    ap.add_argument("--history-urls", default=None,
+                    help="parquet with a url column; gate clean rows to "
+                         "the novel subset via bloom prefilter + exact "
+                         "verify")
+    ap.add_argument("--bloom-bits", type=int, default=1 << 23)
+    ap.add_argument("--bloom-k", type=int, default=5)
+    ap.add_argument("--tolerate-frame-errors", action="store_true")
+    args = ap.parse_args()
+
+    done = os.path.join(args.out, "_DONE")
+    if os.path.exists(done):
+        with open(done) as fh:
+            print(fh.read().strip())
+        return
+
+    spark = SparkSession.builder.appName("xjs-ingest-warc").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from xjs.pipeline.bloom import novel_keys
+    from xjs.sources.warc import read_warc_wet, split_clean_quarantine
+
+    t0 = time.perf_counter()
+    records = read_warc_wet(spark, args.input)
+    # one parse, three consumers -> persist the record set
+    records = records.persist()
+    by_type = {r["warc_type"]: r["n"] for r in records.groupBy("warc_type")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_frame = by_type.get("__frame_error__", 0)
+    if n_frame and not args.tolerate_frame_errors:
+        print("XJS_FRAME_ERRORS " + json.dumps(
+            {"n_frame_errors": n_frame, "by_type": by_type}))
+        sys.exit(4)
+
+    clean, quarantine = split_clean_quarantine(records)
+    clean.write.mode("overwrite").parquet(os.path.join(args.out, "clean"))
+    quarantine.write.mode("overwrite").parquet(
+        os.path.join(args.out, "quarantine"))
+    # re-read stored output: downstream counts come from what is ON
+    # DISK, and a failed later stage re-runs without re-parsing
+    clean_stored = spark.read.parquet(os.path.join(args.out, "clean"))
+    n_clean = clean_stored.count()
+    reasons = {
+        r["reason"]: r["n"]
+        for r in spark.read.parquet(os.path.join(args.out, "quarantine"))
+        .groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    n_novel = None
+    if args.history_urls:
+        hist = spark.read.parquet(args.history_urls).select("url")
+        novel = novel_keys(clean_stored, hist, "url",
+                           n_bits=args.bloom_bits, k=args.bloom_k)
+        novel.write.mode("overwrite").parquet(os.path.join(args.out, "novel"))
+        n_novel = spark.read.parquet(os.path.join(args.out, "novel")).count()
+
+    records.unpersist()
+    manifest = {
+        "job": "ingest_warc",
+        "input": args.input,
+        "out": args.out,
+        "by_type": by_type,
+        "n_frame_errors": n_frame,
+        "n_clean": n_clean,
+        "quarantine": reasons,
+        **({"n_novel": n_novel, "history_urls": args.history_urls}
+           if args.history_urls else {}),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+    }
+    line = json.dumps(manifest)
+    with open(done, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

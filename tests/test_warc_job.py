@@ -1,0 +1,118 @@
+"""End-to-end spark-submit test of the WARC ingest job: exact row
+accounting across clean/quarantine, the bloom-gated novel slice equals
+the exact anti-join, frame errors fail loudly by default, and a
+completed run replays as a no-op with the stored manifest."""
+
+import json
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xjs.sources.warc import CORRUPT_MOD, RES_BAD_DATE, RES_NO_URI, write_warc_fixture
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _submit(*extra, timeout=600):
+    cmd = [
+        "/opt/spark/bin/spark-submit",
+        "--master", "local[4]",
+        "--py-files", os.path.join(REPO, "dist", "xjs.zip"),
+        os.path.join(REPO, "jobs", "ingest_warc.py"),
+        *extra,
+    ]
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="xjs-warcjob-", dir=os.path.join(REPO, ".tmp"))
+    subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    shards = write_warc_fixture(
+        spark, sf_dir, os.path.join(base, "shards"), compress=True)
+    # history: the urls of even doc_ids (the generator's url formula)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hist_path = os.path.join(base, "history-urls")
+    hist.write.parquet(hist_path)
+    out = os.path.join(base, "day0")
+    proc = _submit("--input", shards, "--out", out,
+                   "--history-urls", hist_path)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = json.loads(proc.stdout.strip().splitlines()[-1])
+    yield base, shards, hist_path, out, manifest
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_exact_row_accounting(spark, sf_dir, run):
+    _, _, _, out, manifest = run
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert manifest["by_type"]["conversion"] == n_docs
+    assert manifest["n_frame_errors"] == 0
+    n_q = sum(manifest["quarantine"].values())
+    assert manifest["n_clean"] + n_q == n_docs
+    n_no_uri = docs.filter(F.col("doc_id") % CORRUPT_MOD == RES_NO_URI).count()
+    n_bad = docs.filter(F.col("doc_id") % CORRUPT_MOD == RES_BAD_DATE).count()
+    assert manifest["quarantine"] == {
+        "missing_uri": n_no_uri, "bad_date": n_bad}
+    assert spark.read.parquet(os.path.join(out, "clean")).count() \
+        == manifest["n_clean"]
+
+
+def test_novel_slice_equals_exact_antijoin(spark, run):
+    _, _, hist_path, out, manifest = run
+    clean = spark.read.parquet(os.path.join(out, "clean"))
+    hist = spark.read.parquet(hist_path)
+    want = clean.join(hist, "url", "left_anti")
+    novel = spark.read.parquet(os.path.join(out, "novel"))
+    assert manifest["n_novel"] == want.count() == novel.count()
+    assert novel.select("url").exceptAll(want.select("url")).count() == 0
+
+
+def test_completed_run_replays_as_noop(run):
+    _, shards, hist_path, out, manifest = run
+    marker = os.path.join(out, "_DONE")
+    before = os.path.getmtime(marker)
+    proc = _submit("--input", shards, "--out", out,
+                   "--history-urls", hist_path)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    replay = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert replay == manifest
+    assert os.path.getmtime(marker) == before
+
+
+def test_frame_errors_fail_loudly_by_default(run):
+    base, _, _, _, _ = run
+    broken_dir = os.path.join(base, "broken-shards")
+    os.makedirs(broken_dir, exist_ok=True)
+    good = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Record-ID: <urn:x:1>\r\n"
+            b"WARC-Target-URI: https://a/1\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    with open(os.path.join(broken_dir, "shard-0000.warc"), "wb") as fh:
+        fh.write(good + b"garbage that is not a WARC header")
+    out_fail = os.path.join(base, "broken-out")
+    proc = _submit("--input", broken_dir, "--out", out_fail)
+    assert proc.returncode == 4
+    assert "XJS_FRAME_ERRORS" in proc.stdout
+    assert not os.path.exists(os.path.join(out_fail, "_DONE"))
+    # tolerating is an explicit operator decision
+    out_ok = os.path.join(base, "broken-out-tolerated")
+    proc2 = _submit("--input", broken_dir, "--out", out_ok,
+                    "--tolerate-frame-errors")
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    m = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert m["n_frame_errors"] == 1
+    assert m["n_clean"] == 1

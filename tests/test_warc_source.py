@@ -118,6 +118,23 @@ def test_frame_error_is_a_ledger_row_not_silent_truncation(tmp_path):
     assert list(parse_warc_records(b"")) == []
 
 
+def test_chunked_member_decompress_equals_gzip(paths):
+    """The O(n) chunk-fed zlib loop must byte-match gzip.decompress on
+    a real multi-member shard (incl. members straddling chunk feeds)."""
+    import gzip as _gzip
+
+    from xjs.sources.warc import _decompress
+
+    _, gz = paths
+    shard = sorted(glob.glob(os.path.join(gz, "*.warc.gz")))[0]
+    with open(shard, "rb") as fh:
+        blob = fh.read()
+    want = _gzip.decompress(blob)
+    assert _decompress(blob) == want
+    assert _decompress(blob, chunk=37) == want  # members straddle feeds
+    assert _decompress(want) == want  # plain passthrough
+
+
 def test_fixture_rebuild_is_byte_deterministic(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="t-warc-det-", dir=os.path.join(REPO, ".tmp"))
     try:
