@@ -50,7 +50,7 @@ spark = (
     .getOrCreate()
 )
 mode = {mode!r}
-if mode in ("scan", "pipeline", "dedup", "export", "incr"):
+if mode in ("scan", "pipeline", "dedup", "export", "incr", "ingest"):
     sys.path.insert(0, {repo!r} + "")
     from bench import materialize
     wp_path = materialize(spark, {sf_dir!r}, {factor})
@@ -121,6 +121,27 @@ elif mode == "incr":
             char_state_merge(spark, pages, state_path,
                              method="rolling", anchor_mod=8)
         ).count()
+elif mode == "ingest":
+    # WARC/WET ingest: file-grain parallel parse of gzip-member shards
+    # (one linear scan per shard inside mapInPandas; zero shuffle) +
+    # the clean/quarantine split.  The crawl-arrival shape: evidence
+    # that the pipeline HEAD scales, not just the operators behind it.
+    import os as _os
+    from bench import force
+    from xjs.sources.warc import (
+        read_warc_wet, split_clean_quarantine, write_warc_fixture,
+    )
+
+    warc_path = wp_path + "-warc-v1"
+    write_warc_fixture(
+        spark, {sf_dir!r}, warc_path, compress=True,
+        df=wp.select("doc_id", "source", "text", "lang"), n_shards=128,
+    )
+    n_d = wp.count()  # warm-up
+
+    def measured():
+        clean, _ = split_clean_quarantine(read_warc_wet(spark, warc_path))
+        return force(clean).count()
 elif mode == "pipeline":
     # pipeline-op shape: boilerplate detection — the Arrow gram cutter
     # (compute-bound mapInPandas, needs executorEnv.PYTHONPATH on the
@@ -161,7 +182,7 @@ spark.stop()
 def run(n_exec: int, sf_dir: str, factor: int, mode: str) -> dict:
     # the pipeline/dedup shapes run 45-110s per rep at 4 cores — 2
     # reps keeps the battery affordable (their samples are tight)
-    reps = 2 if mode in ("pipeline", "dedup", "incr") else 3
+    reps = 2 if mode in ("pipeline", "dedup", "incr", "ingest") else 3
     code = JOB.format(
         repo=str(REPO), n_exec=n_exec, sf_dir=sf_dir, factor=factor,
         mode=mode, reps=reps,
@@ -189,6 +210,7 @@ def one_experiment(sf_dir: str, factor: int, mode: str) -> dict:
         "dedup": "minhash near-dup pipeline (exact-collapse + capped band join)",
         "export": "exact fixed-size shard assignment (two-level global rank)",
         "incr": "char-grain state fold (anchored rolling keys + min-merge vs stored state)",
+        "ingest": "WARC/WET gzip-member shard parse + clean/quarantine split",
     }.get(mode, f"flagship violations pass ({mode})")
     out = {
         "job": job,
@@ -222,7 +244,8 @@ def main() -> None:
     max_attempts = int(os.environ.get("XJS_SCALE_ATTEMPTS", "3"))
     target = 0.8
 
-    shapes = ("derive", "scan", "pipeline", "dedup", "export", "incr")
+    shapes = ("derive", "scan", "pipeline", "dedup", "export", "incr",
+              "ingest")
     factors = {
         "derive": int(os.environ.get("XJS_SCALE_FACTOR_DERIVE", "1000")),
         "scan": int(os.environ.get("XJS_SCALE_FACTOR_SCAN", "4000")),
@@ -233,6 +256,10 @@ def main() -> None:
         # 4M distinct pages: sizes the 4-core fold to ~50s so the
         # multi-JVM scheduling floor (~1s) stays <5% of the 16-core wall
         "incr": int(os.environ.get("XJS_SCALE_FACTOR_INCR", "800")),
+        # 4M docs as 128 gzip-member shards (reuses the incr shape's
+        # materialized f800 page table); sizes the 4-core parse well
+        # clear of the scheduling floor
+        "ingest": int(os.environ.get("XJS_SCALE_FACTOR_INGEST", "800")),
     }
     # XJS_SCALE_SHAPES=dedup re-measures one noisy shape; the rest come
     # from BENCH/scaling_best.json (a shape not measured AND not stored
@@ -262,7 +289,8 @@ def main() -> None:
         out["loadavg_after"] = round(os.getloadavg()[0], 2)
         return out
 
-    gate_shapes = ("derive", "scan", "pipeline", "export", "incr")  # dedup = diagnostic
+    gate_shapes = ("derive", "scan", "pipeline", "export", "incr",
+                   "ingest")  # dedup = diagnostic
     # retry only on shapes actually being RE-MEASURED (ADVICE r3): a
     # stored below-target shape outside run_shapes can't improve, so
     # gating on it would burn max_attempts re-running the others
@@ -303,11 +331,12 @@ def main() -> None:
     derive, scan, pipe, dedup, exp, inc = (best["derive"], best["scan"],
                                            best["pipeline"], best["dedup"],
                                            best["export"], best["incr"])
+    ing = best["ingest"]
     ambient = f"{best['loadavg_before']} -> {best['loadavg_after']}"
     # headline = the compute-shape (engine behavior); the scan shape
     # shares ONE local disk/page cache across all executors, which a
     # real cluster does not — reported as a secondary data point
-    result = {"experiments": [derive, scan, pipe, dedup, exp, inc],
+    result = {"experiments": [derive, scan, pipe, dedup, exp, inc, ing],
               "headline_efficiency": derive["scaling_efficiency"],
               "pass": derive["pass"],
               "ambient_loadavg": ambient}
@@ -318,6 +347,7 @@ def main() -> None:
     mlo, mhi, meff = dedup["N_executors"], dedup["4N_executors"], dedup["scaling_efficiency"]
     elo, ehi, eeff = exp["N_executors"], exp["4N_executors"], exp["scaling_efficiency"]
     ilo, ihi, ieff = inc["N_executors"], inc["4N_executors"], inc["scaling_efficiency"]
+    glo, ghi, geff = ing["N_executors"], ing["4N_executors"], ing["scaling_efficiency"]
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -420,6 +450,20 @@ against the STORED window-owner state built over 7/8 of the corpus:
 | local-cluster[4,4] (4N)  | 16 | {ihi['sec']} | {ihi['docs_per_sec']:,} |
 
 **efficiency = {ieff}** (target ≥ 0.8: {"PASS" if ieff >= 0.8 else "FAIL"})
+
+**G. WARC/WET crawl ingest (r5 cont.)** — the pipeline HEAD: parse
+{glo['n_docs']:,} docs framed as 128 per-record-gzip-member WET
+shards (the Common-Crawl arrival layout) at file grain — one linear
+mapInPandas pass per shard (chunk-fed zlib member decode + header
+framing), then the clean/quarantine split.  Zero shuffle; the shape
+every crawl consumer runs first:
+
+| config | cores | wall sec | docs/sec |
+|---|---|---|---|
+| local-cluster[1,4] (N)   | 4  | {glo['sec']} | {glo['docs_per_sec']:,} |
+| local-cluster[4,4] (4N)  | 16 | {ghi['sec']} | {ghi['docs_per_sec']:,} |
+
+**efficiency = {geff}** (target ≥ 0.8: {"PASS" if geff >= 0.8 else "FAIL"})
 
 Shape B is the headline metric: it isolates ENGINE scaling.  Shape A
 funnels all executors through one local disk + page cache, a

@@ -92,6 +92,37 @@ def test_completed_run_replays_as_noop(run):
     assert os.path.getmtime(marker) == before
 
 
+def test_warc_clean_slice_feeds_daily_ingest(spark, run):
+    """The crawl-to-clean seam: ingest_warc's clean output, mapped to
+    the documents shape, is a valid daily_ingest day — the full
+    production path from raw shards to dedup state."""
+    base, _, _, out, manifest = run
+    clean = spark.read.parquet(os.path.join(out, "clean"))
+    day_input = os.path.join(base, "day0-docs")
+    clean.select(
+        F.regexp_extract("record_id", r"urn:xjs:doc:(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "text",
+    ).write.parquet(os.path.join(day_input, "documents.parquet"))
+    ingest_out = os.path.join(base, "day0-ingested")
+    cmd = [
+        "/opt/spark/bin/spark-submit",
+        "--master", "local[4]",
+        "--py-files", os.path.join(REPO, "dist", "xjs.zip"),
+        os.path.join(REPO, "jobs", "daily_ingest.py"),
+        "--input", day_input,
+        "--out", ingest_out,
+        "--filter", "doc_id >= 0",
+        "--day", "day0",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert m["n_docs_slice"] == manifest["n_clean"]
+    cleaned = spark.read.parquet(os.path.join(ingest_out, "cleaned"))
+    assert cleaned.count() == manifest["n_clean"]
+
+
 def test_frame_errors_fail_loudly_by_default(run):
     base, _, _, _, _ = run
     broken_dir = os.path.join(base, "broken-shards")
