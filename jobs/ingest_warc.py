@@ -52,6 +52,10 @@ def main() -> None:
                          "verify")
     ap.add_argument("--bloom-bits", type=int, default=1 << 23)
     ap.add_argument("--bloom-k", type=int, default=5)
+    ap.add_argument("--history-out", default=None,
+                    help="write the updated url registry (history ∪ this "
+                         "slice's clean urls, distinct) for the NEXT day's "
+                         "--history-urls — the cross-day novelty chain")
     ap.add_argument("--tolerate-frame-errors", action="store_true")
     args = ap.parse_args()
 
@@ -101,6 +105,18 @@ def main() -> None:
         novel.write.mode("overwrite").parquet(os.path.join(args.out, "novel"))
         n_novel = spark.read.parquet(os.path.join(args.out, "novel")).count()
 
+    n_history = None
+    if args.history_out:
+        # registry = everything ever seen; the novel slice suffices on
+        # top of old history (clean ∖ novel ⊆ history by definition),
+        # but the distinct union is stated directly for auditability
+        urls = clean_stored.select("url")
+        if args.history_urls:
+            urls = urls.unionByName(
+                spark.read.parquet(args.history_urls).select("url"))
+        urls.distinct().write.mode("overwrite").parquet(args.history_out)
+        n_history = spark.read.parquet(args.history_out).count()
+
     records.unpersist()
     manifest = {
         "job": "ingest_warc",
@@ -112,6 +128,8 @@ def main() -> None:
         "quarantine": reasons,
         **({"n_novel": n_novel, "history_urls": args.history_urls}
            if args.history_urls else {}),
+        **({"n_history_urls": n_history, "history_out": args.history_out}
+           if args.history_out else {}),
         "wall_sec": round(time.perf_counter() - t0, 2),
     }
     line = json.dumps(manifest)

@@ -123,6 +123,48 @@ def test_warc_clean_slice_feeds_daily_ingest(spark, run):
     assert cleaned.count() == manifest["n_clean"]
 
 
+def test_cross_day_novelty_chain(spark, sf_dir, run):
+    """Two overlapping crawl days: day0 bootstraps the url registry,
+    day1 gates against it — day1's novel slice is exactly its urls
+    unseen on day0, and the updated registry is the distinct union."""
+    base, _, _, _, _ = run
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text", "lang")
+    days = [d.filter(F.col("doc_id") < 300),
+            d.filter(F.col("doc_id") >= 200)]  # overlap: 200-299
+    shard_dirs = []
+    for i, day in enumerate(days):
+        p = os.path.join(base, f"chain-shards-{i}")
+        write_warc_fixture(spark, sf_dir, p, compress=True, df=day)
+        shard_dirs.append(p)
+    out0 = os.path.join(base, "chain-day0")
+    reg0 = os.path.join(base, "chain-reg0")
+    p0 = _submit("--input", shard_dirs[0], "--out", out0,
+                 "--history-out", reg0)
+    assert p0.returncode == 0, p0.stderr[-2000:]
+    m0 = json.loads(p0.stdout.strip().splitlines()[-1])
+    out1 = os.path.join(base, "chain-day1")
+    reg1 = os.path.join(base, "chain-reg1")
+    p1 = _submit("--input", shard_dirs[1], "--out", out1,
+                 "--history-urls", reg0, "--history-out", reg1)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    m1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    # bootstrap registry = day0's distinct clean urls
+    clean0 = spark.read.parquet(os.path.join(out0, "clean"))
+    clean1 = spark.read.parquet(os.path.join(out1, "clean"))
+    assert m0["n_history_urls"] == clean0.select("url").distinct().count()
+    # novel = day1 clean minus day0 clean (exact)
+    want_novel = clean1.join(clean0.select("url"), "url", "left_anti")
+    novel = spark.read.parquet(os.path.join(out1, "novel"))
+    assert m1["n_novel"] == want_novel.count() == novel.count()
+    assert novel.count() < clean1.count()  # the overlap was caught
+    # updated registry = distinct union of both days
+    want_reg = clean0.select("url").unionByName(
+        clean1.select("url")).distinct()
+    assert m1["n_history_urls"] == want_reg.count()
+    assert spark.read.parquet(reg1).count() == want_reg.count()
+
+
 def test_frame_errors_fail_loudly_by_default(run):
     base, _, _, _, _ = run
     broken_dir = os.path.join(base, "broken-shards")
