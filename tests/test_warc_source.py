@@ -111,11 +111,42 @@ def test_frame_error_is_a_ledger_row_not_silent_truncation(tmp_path):
     broken = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\npayload"
     recs = list(parse_warc_records(good + broken))
     assert [r["warc_type"] for r in recs] == ["conversion", "__frame_error__"]
-    assert recs[0]["text"] == "hi"
+    assert recs[0]["payload"] == b"hi"
     # non-WARC leading bytes are likewise a frame error, not a crash
     recs2 = list(parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnope"))
     assert [r["warc_type"] for r in recs2] == ["__frame_error__"]
     assert list(parse_warc_records(b"")) == []
+
+
+def test_response_records_carry_html_binary_byte_exact(spark, sf_dir):
+    """Raw-crawl path: response payloads round-trip BYTE-identically
+    through HTTP framing + the reader (html as binary, undecoded), and
+    status/mime surface from the HTTP head."""
+    import tempfile as _tf
+
+    from xjs.pipeline.html import page_corpus
+    from xjs.sources.warc import read_warc_responses, write_warc_fixture
+
+    base = _tf.mkdtemp(prefix="t-warc-resp-", dir=os.path.join(REPO, ".tmp"))
+    try:
+        path = write_warc_fixture(
+            spark, sf_dir, os.path.join(base, "resp"), compress=True,
+            kind="response")
+        recs = read_warc_responses(spark, path)
+        got = recs.select(
+            F.regexp_extract("record_id", r"urn:xjs:doc:(\d+)", 1)
+            .cast("long").alias("doc_id"),
+            F.col("html").cast("string").alias("html_str"),
+            "status", "mime")
+        want = page_corpus(spark, sf_dir).select(
+            "doc_id", F.coalesce(F.col("html"), F.lit("")).alias("want"))
+        j = got.join(want, "doc_id")
+        assert j.count() == got.count() > 0
+        assert j.filter(F.col("html_str") != F.col("want")).count() == 0
+        assert j.filter(F.col("status") != 200).count() == 0
+        assert j.filter(F.col("mime") != "text/html").count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def test_chunked_member_decompress_equals_gzip(paths):

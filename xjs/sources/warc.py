@@ -94,7 +94,7 @@ def parse_warc_records(buf: bytes) -> Iterator[dict]:
         head_end = buf.find(CRLF + CRLF, pos)
         if head_end < 0 or not buf.startswith(b"WARC/", pos):
             yield {"warc_type": "__frame_error__",
-                   "text": f"unframed bytes at offset {pos}"}
+                   "payload": f"unframed bytes at offset {pos}".encode()}
             return
         headers: dict[str, str] = {}
         head = buf[pos:head_end].decode("utf-8", errors="replace")
@@ -106,7 +106,7 @@ def parse_warc_records(buf: bytes) -> Iterator[dict]:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             yield {"warc_type": "__frame_error__",
-                   "text": f"bad Content-Length at offset {pos}"}
+                   "payload": f"bad Content-Length at offset {pos}".encode()}
             return
         body_start = head_end + 4
         payload = buf[body_start:body_start + length]
@@ -117,7 +117,7 @@ def parse_warc_records(buf: bytes) -> Iterator[dict]:
             "date_raw": headers.get("warc-date"),
             "lang": headers.get("warc-identified-content-language"),
             "content_type": headers.get("content-type"),
-            "text": payload.decode("utf-8", errors="replace"),
+            "payload": payload,
         }
         pos = body_start + length
 
@@ -165,15 +165,65 @@ def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["record_id", "warc_type", "url", "date_raw", "lang",
-                "content_type", "text"]
+                "content_type"]
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
                 for rec in parse_warc_records(_decompress(bytes(content))):
-                    rows.append([rec.get(c) for c in cols])
-            yield pd.DataFrame(rows, columns=cols)
+                    p = rec.get("payload")
+                    rows.append(
+                        [rec.get(c) for c in cols]
+                        + [p.decode("utf-8", errors="replace")
+                           if p is not None else None])
+            yield pd.DataFrame(rows, columns=cols + ["text"])
 
     return files.select("content").mapInPandas(parse, RECORD_SCHEMA)
+
+
+RESPONSE_SCHEMA = (
+    "record_id string, warc_type string, url string, date_raw string, "
+    "status int, mime string, html binary"
+)
+
+
+def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of RAW-crawl shards -> one row per ``response`` record
+    with the html payload kept as BINARY (the input_hint's html:binary
+    column, exactly as a crawler hands it over).
+
+    Each response payload is an HTTP/1.1 message: status line +
+    headers, blank line, body.  The reader splits at the first
+    CRLFCRLF, surfaces the status code and Content-Type, and passes
+    the body through UNDECODED — charset handling belongs to the
+    extraction stage, not the framing reader."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["record_id", "warc_type", "url", "date_raw",
+                "status", "mime", "html"]
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc_records(_decompress(bytes(content))):
+                    if rec.get("warc_type") != "response":
+                        continue
+                    head, _, body = rec["payload"].partition(CRLF + CRLF)
+                    status = None
+                    mime = None
+                    lines = head.decode("utf-8", errors="replace").split("\r\n")
+                    parts = lines[0].split()
+                    if len(parts) >= 2 and parts[1].isdigit():
+                        status = int(parts[1])
+                    for line in lines[1:]:
+                        k, sep, v = line.partition(":")
+                        if sep and k.strip().lower() == "content-type":
+                            mime = v.strip()
+                    rows.append([rec.get("record_id"), "response",
+                                 rec.get("url"), rec.get("date_raw"),
+                                 status, mime, body])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("content").mapInPandas(parse, RESPONSE_SCHEMA)
 
 
 def split_clean_quarantine(records: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -218,9 +268,9 @@ def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
             + payload + CRLF + CRLF)
 
 
-def _doc_record(doc_id: int, source: str, text: str, lang: str) -> bytes:
-    payload = (text or "").encode("utf-8")
-    headers = [("WARC-Type", "conversion"),
+def _doc_record(doc_id: int, source: str, text: str, lang: str,
+                kind: str = "wet", html: str | None = None) -> bytes:
+    headers = [("WARC-Type", "conversion" if kind == "wet" else "response"),
                ("WARC-Record-ID", f"<urn:xjs:doc:{doc_id}>")]
     if doc_id % CORRUPT_MOD != RES_NO_URI:
         headers.append(
@@ -231,9 +281,18 @@ def _doc_record(doc_id: int, source: str, text: str, lang: str) -> bytes:
     else:
         ts = pd.Timestamp(EPOCH) + pd.Timedelta(seconds=int(doc_id))
         date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-    headers += [("WARC-Date", date),
-                ("WARC-Identified-Content-Language", lang or ""),
-                ("Content-Type", "text/plain")]
+    headers.append(("WARC-Date", date))
+    if kind == "wet":
+        payload = (text or "").encode("utf-8")
+        headers += [("WARC-Identified-Content-Language", lang or ""),
+                    ("Content-Type", "text/plain")]
+    else:  # raw-crawl response: HTTP/1.1 message wrapping the html
+        body = (html or "").encode("utf-8")
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                   + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                   + body)
+        headers.append(
+            ("Content-Type", "application/http; msgtype=response"))
     return _record_bytes(headers, payload)
 
 
@@ -250,10 +309,14 @@ def _warcinfo(shard: int) -> bytes:
 
 def write_warc_fixture(
     spark: SparkSession, sf_dir: str, out_path: str, compress: bool = False,
-    df: DataFrame | None = None, n_shards: int = N_SHARDS
+    df: DataFrame | None = None, n_shards: int = N_SHARDS,
+    kind: str = "wet",
 ) -> str:
-    """(doc_id, source, text, lang) rows -> n_shards WET files
-    (cached; _SUCCESS guard); default source is documents.parquet.
+    """(doc_id, source, text, lang[, html]) rows -> n_shards WARC files
+    (cached; _SUCCESS guard); default source is documents.parquet —
+    for kind='response' the default corpus is pipeline.html's
+    page_corpus, so the raw-crawl fixture wraps the SAME pages the
+    html-extraction oracle is stated against.
 
     Shard assignment/content are pure functions of doc_id, so rebuilds
     are byte-deterministic.  Each shard is written by its own group
@@ -267,10 +330,17 @@ def write_warc_fixture(
         return out_path
     os.makedirs(out_path, exist_ok=True)
     if df is None:
-        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if kind == "response":
+            from xjs.pipeline.html import page_corpus
+
+            df = page_corpus(spark, sf_dir).withColumn("lang", F.lit(""))
+        else:
+            df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "source", "text", "lang"]
+    if kind == "response":
+        cols.append("html")
     d = df.select(
-        "doc_id", "source", "text", "lang",
-        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
+        *cols, F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
     )
     ext = ".warc.gz" if compress else ".warc"
 
@@ -278,7 +348,8 @@ def write_warc_fixture(
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("doc_id")
         recs = [_warcinfo(shard)] + [
-            _doc_record(int(r.doc_id), r.source, r.text, r.lang)
+            _doc_record(int(r.doc_id), r.source, r.text, r.lang, kind=kind,
+                        html=getattr(r, "html", None))
             for r in pdf.itertuples()
         ]
         if compress:
@@ -305,21 +376,23 @@ def write_warc_fixture(
 # ---------------------------------------------------------------------------
 
 
-def _fixture_path(sf_dir: str, compress: bool) -> str:
+def _fixture_path(sf_dir: str, compress: bool, kind: str = "wet") -> str:
     import re
 
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     tag = re.sub(r"\W+", "_", sf_dir.strip("/").split("/")[-1])
     gz = "gz" if compress else "plain"
+    k = "" if kind == "wet" else f"-{kind}"
     os.makedirs(os.path.join(repo, ".tmp"), exist_ok=True)
-    return os.path.join(repo, ".tmp", f"warc-{tag}-{gz}-v{WARC_VERSION}")
+    return os.path.join(repo, ".tmp", f"warc-{tag}-{gz}{k}-v{WARC_VERSION}")
 
 
 def _ingest(spark: SparkSession, sf_dir: str,
             compress: bool) -> tuple[DataFrame, DataFrame]:
     path = write_warc_fixture(
-        spark, sf_dir, _fixture_path(sf_dir, compress), compress=compress)
+        spark, sf_dir, _fixture_path(sf_dir, compress),
+        compress=compress)
     return split_clean_quarantine(read_warc_wet(spark, path))
 
 
@@ -338,6 +411,50 @@ def q_warc_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_warc_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, quarantine = _ingest(spark, sf_dir, compress=True)
     return quarantine.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAW-crawl path end to end: response records (html as
+    BINARY inside an HTTP/1.1 message) -> framing reader -> HTTP
+    header strip -> html_extract_text — the north-star invariant
+    (byte-identical extracted text per url) from the crawl's actual
+    arrival shape.  Empty bodies (the generator's null-html residue)
+    are dropped the way any crawl consumer drops empty responses."""
+    from xjs.pipeline.html import html_extract_text
+
+    path = write_warc_fixture(
+        spark, sf_dir, _fixture_path(sf_dir, True, kind="response"),
+        compress=True, kind="response")
+    recs = read_warc_responses(spark, path)
+    ts = F.try_to_timestamp(
+        F.col("date_raw"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    clean = recs.filter(
+        F.col("url").isNotNull() & ts.isNotNull()
+        & (F.col("status") == 200) & (F.octet_length("html") > 0))
+    return html_extract_text(clean).select(
+        F.regexp_extract("record_id", r"urn:xjs:doc:(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "url", "extracted_text",
+    )
+
+
+def oracle_warc_html_extract_sql() -> str:
+    """CONSTRUCTIVE twice over: the expected text is stated from the
+    page-synthesis formula (pipeline/html.py's oracle), the row set
+    from the WARC corruption residues — so a green row proves framing
+    + HTTP strip + extraction jointly invert the whole generator."""
+    from xjs.pipeline.html import _EXPECT_TAIL
+
+    tail = _EXPECT_TAIL.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       'https://' || source || '.example.com/doc/' || doc_id AS url,
+       source || ' ' || source || ' daily ' || trim(text)
+           || ' ' || '{tail}' || ' page ' || doc_id AS extracted_text
+FROM documents
+WHERE doc_id % {CORRUPT_MOD} NOT IN ({RES_NO_URI}, {RES_BAD_DATE})
+  AND doc_id % 211 != 0
+"""
 
 
 def oracle_warc_clean_sql() -> str:
