@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
         "bloom_novel_urls": bloom.q_bloom_novel_urls,
         "warc_html_extract": warc.q_warc_html_extract,
+        "lm_ccnet_buckets": lm.q_lm_ccnet_buckets,
         "char_dedup_spans": suffix.q_char_spans,
         "char_dedup_remove": suffix.q_char_remove,
         "char_dedup_incremental": suffix.q_char_incremental,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest_quarantine": warc.oracle_warc_quarantine_sql(),
         "bloom_novel_urls": bloom.oracle_bloom_novel_sql(),
         "warc_html_extract": warc.oracle_warc_html_extract_sql(),
+        "lm_ccnet_buckets": lm.oracle_lm_ccnet_buckets_sql(),
         "jsonl_ingest_clean": jsonl.oracle_jsonl_clean_sql(),
         "jsonl_ingest_quarantine": jsonl.oracle_jsonl_quarantine_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),

@@ -162,3 +162,61 @@ def test_trigram_broadcast_plan(spark, sf_dir):
     )
     # both model probes broadcast; the corpus never shuffles for them
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_are_threshold_consistent(spark, sf_dir):
+    """Within a language, bucket order must be monotone in score_key:
+    min(head) >= max(middle-or-tail), min(middle) >= max(tail) —
+    the terciles are real cutoffs, not per-doc noise."""
+    from xjs.pipeline.lm import ccnet_buckets, lm_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    out = ccnet_buckets(lm_corpus(spark, sf_dir).join(d, "doc_id")).filter(
+        F.col("score_key").isNotNull()).cache()
+    stats = out.groupBy("lang").pivot(
+        "bucket", ["head", "middle", "tail"]).agg(
+        F.struct(F.min("score_key").alias("lo"),
+                 F.max("score_key").alias("hi"))).collect()
+    assert len(stats) > 0
+    for r in stats:
+        if r["head"] is not None and r["middle"] is not None:
+            assert r["head"]["lo"] >= r["middle"]["hi"]
+        if r["middle"] is not None and r["tail"] is not None:
+            assert r["middle"]["lo"] > r["tail"]["hi"]
+    # every lang produced all three buckets on this fixture
+    assert all(r["head"] and r["middle"] and r["tail"] for r in stats)
+    out.unpersist()
+
+
+def test_ccnet_unjudgeable_docs_default_to_head(spark):
+    from xjs.pipeline.lm import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(1, "en", "single"), (2, "en", ""), (3, "en", "two tokens here"),
+         (4, "en", "more than two tokens")],
+        "doc_id long, lang string, text string")
+    rows = {r.doc_id: r for r in ccnet_buckets(df, sample_mod=1).collect()}
+    assert rows[1].bucket == "head" and rows[1].score_key is None
+    assert rows[2].bucket == "head" and rows[2].score_key is None
+    assert rows[3].score_key is not None
+    assert len(rows) == 4
+
+
+def test_ccnet_thresholds_broadcast_and_corpus_never_sorts(spark, sf_dir):
+    """The scale contract: the only sort is over the SAMPLE window;
+    the full corpus joins the thresholds via broadcast."""
+    from xjs.pipeline.lm import ccnet_buckets, lm_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    plan = (
+        ccnet_buckets(lm_corpus(spark, sf_dir).join(d, "doc_id"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -365,3 +365,180 @@ SELECT c.doc_id,
         OR COALESCE(s.lp_sum, 0) >= {thr}::BIGINT * s.n_transitions) AS keep
 FROM corpus c LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+#: deterministic threshold-sample selector — CCNet computes its
+#: per-language cutoffs on a held-out sample and applies them as
+#: constants.  Selection hashes the id (md5, the mixture/export
+#: arithmetic — bit-exact in DuckDB) rather than taking a residue
+#: class: any id-arithmetic corpus structure (e.g. a fixture's %9
+#: noise residue) lands in residue samples at a biased rate, which
+#: skews the cutoffs — a hashed sample is decorrelated by
+#: construction.  1-in-SAMPLE_MOD sampling rate.
+SAMPLE_MOD = 3
+_SAMPLE_SEED = "ccnet"
+
+
+def _sample_mask(id_col, mod: int):
+    key = F.md5(F.concat(id_col.cast("string"), F.lit(f"#{_SAMPLE_SEED}")))
+    return F.pmod(F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+                  F.lit(mod)) == 0
+
+
+def _sample_mask_sql(expr: str, mod: int) -> str:
+    return (f"(('0x' || substr(md5({expr}::VARCHAR || '#{_SAMPLE_SEED}'), "
+            f"1, 15))::BIGINT % {mod}) = 0")
+
+
+def _floor_div(a, b):
+    """Exact floor division on integer Columns, portable to DuckDB:
+    both engines define % as truncated remainder, so
+    (a - ((a % b + b) % b)) is divisible by b and the final / is an
+    exact integer (< 2^53, double-safe)."""
+    pm = ((a % b) + b) % b
+    return ((a - pm) / b).cast("long")
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    artifact: str = DEFAULT_LM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    sample_mod: int = SAMPLE_MOD,
+    hash_mode: str = "native",
+) -> DataFrame:
+    """(id, lang, score_key, bucket): CCNet's head/middle/tail split —
+    per-language perplexity terciles, better (higher mean log-prob)
+    documents land in 'head'.
+
+    All-integer arithmetic end to end: score_key = floor(lp_sum /
+    n_transitions) in micro-nats per transition (total order with the
+    id tie-break), tercile ranks k = ceil(m/3), ceil(2m/3) computed
+    as integer expressions — no float comparison anywhere, so the
+    bucket verdict is exact and the DuckDB oracle bit-matches.
+
+    Scale shape (the CCNet deployment shape): thresholds come from a
+    deterministic hash-mod SAMPLE — the only sort in the plan is a
+    per-language window over sample rows (sample-sized by
+    construction; CCNet hard-codes the resulting cutoffs per
+    language) — then broadcast-join back and assign in one narrow
+    pass over the corpus.  No per-language global sort of the corpus
+    ever happens, so hot languages (English ≈ half the crawl) never
+    concentrate on one task.  Zero-transition docs are unjudgeable
+    and keep bucket 'head' (the permissive default), as do languages
+    absent from the sample."""
+    scored = lm_score(df, artifact, text_col, id_col, hash_mode)
+    base = df.select(id_col, lang_col).join(scored, id_col)
+    judged = base.filter(F.col("n_transitions") > 0).select(
+        id_col, lang_col,
+        _floor_div(F.col("lp_sum"), F.col("n_transitions"))
+        .alias("score_key"),
+    )
+    sample = judged.filter(_sample_mask(F.col(id_col), sample_mod))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("score_key").desc(), F.col(id_col).asc())
+    wc = Window.partitionBy(lang_col)
+    ranked = sample.select(
+        lang_col, "score_key",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    k1 = _floor_div(F.col("m") + 2, F.lit(3))          # ceil(m/3)
+    k2 = _floor_div(2 * F.col("m") + 2, F.lit(3))      # ceil(2m/3)
+    thresholds = ranked.groupBy(lang_col).agg(
+        F.max(F.when(F.col("rn") == k1, F.col("score_key"))).alias("t1"),
+        F.max(F.when(F.col("rn") == k2, F.col("score_key"))).alias("t2"),
+    )
+    out = judged.join(F.broadcast(thresholds), lang_col, "left").select(
+        id_col, lang_col, "score_key",
+        F.when(F.col("t1").isNull(), F.lit("head"))
+        .when(F.col("score_key") >= F.col("t1"), F.lit("head"))
+        .when(F.col("score_key") >= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )
+    unjudged = base.filter(F.col("n_transitions") == 0).select(
+        id_col, lang_col,
+        F.lit(None).cast("long").alias("score_key"),
+        F.lit("head").alias("bucket"),
+    )
+    return out.unionByName(unjudged)
+
+
+def q_lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    corpus = lm_corpus(spark, sf_dir).join(d, "doc_id")
+    return ccnet_buckets(corpus, hash_mode="portable")
+
+
+def oracle_lm_ccnet_buckets_sql(artifact: str = DEFAULT_LM) -> str:
+    model = load(artifact)
+    vals = ", ".join(
+        "('{}', '{}', {})".format(p.replace("'", "''"), w.replace("'", "''"), lp)
+        for p, w, lp in model["bigrams"]
+    )
+    lp_oov = int(model["lp_oov"])
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 9 = 0
+                THEN array_to_string(list_transform(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t || t), ' ')
+                ELSE text END AS text
+    FROM documents
+),
+lm(prev, tok, lp) AS (VALUES {vals}),
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
+),
+trans AS (
+    SELECT doc_id, t[i - 1] AS prev, t[i] AS tok
+    FROM toks, unnest(range(2, len(t) + 1)) AS r(i)
+),
+scored AS (
+    SELECT tr.doc_id, COUNT(*) AS n,
+           SUM(COALESCE(lm.lp, {lp_oov}))::BIGINT AS lp_sum
+    FROM trans tr LEFT JOIN lm ON lm.prev = tr.prev AND lm.tok = tr.tok
+    GROUP BY tr.doc_id
+),
+judged AS (
+    SELECT c.doc_id, c.lang,
+           ((lp_sum - ((lp_sum % n) + n) % n) / n)::BIGINT AS score_key
+    FROM corpus c JOIN scored s USING (doc_id)
+),
+ranked AS (
+    SELECT lang, score_key,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY score_key DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS m
+    FROM judged
+    WHERE {_sample_mask_sql("doc_id", SAMPLE_MOD)}
+),
+thresholds AS (
+    SELECT lang,
+           MAX(CASE WHEN rn = ((m + 2) - ((m + 2) % 3)) / 3
+                    THEN score_key END) AS t1,
+           MAX(CASE WHEN rn = ((2 * m + 2) - ((2 * m + 2) % 3)) / 3
+                    THEN score_key END) AS t2
+    FROM ranked GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.score_key,
+       CASE WHEN t.t1 IS NULL THEN 'head'
+            WHEN j.score_key >= t.t1 THEN 'head'
+            WHEN j.score_key >= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM judged j LEFT JOIN thresholds t USING (lang)
+UNION ALL
+SELECT c.doc_id, c.lang, NULL::BIGINT AS score_key, 'head' AS bucket
+FROM corpus c LEFT JOIN scored s USING (doc_id)
+WHERE s.doc_id IS NULL
+"""
