@@ -81,6 +81,18 @@ def test_null_keys_never_member_and_never_break_build(spark):
     assert rows[None] is False
 
 
+def test_empty_sides_behave(spark):
+    """Empty history -> all-zero filter -> everything novel; empty new
+    side -> empty result. Neither crashes the distributed build."""
+    member = spark.createDataFrame([], "key string")
+    some = spark.range(5).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    bloom = bloom_build(member, "key", n_bits=1 << 10, k=3)
+    assert not np.frombuffer(bloom, dtype=np.uint64).any()
+    assert novel_keys(some, member, "key", n_bits=1 << 10, k=3).count() == 5
+    assert novel_keys(member, some, "key", n_bits=1 << 10, k=3).count() == 0
+
+
 def test_build_is_partitioning_invariant(spark, keys):
     member, _ = keys
     a = bloom_build(member.coalesce(1), "key", n_bits=1 << 14, k=4)

@@ -116,6 +116,14 @@ def test_frame_error_is_a_ledger_row_not_silent_truncation(tmp_path):
     recs2 = list(parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnope"))
     assert [r["warc_type"] for r in recs2] == ["__frame_error__"]
     assert list(parse_warc_records(b"")) == []
+    # a shard cut mid-payload (declared length > remaining bytes) is a
+    # ledger row, never a silently short record
+    trunc = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+             b"Content-Length: 100\r\n\r\nhi")
+    recs3 = list(parse_warc_records(good + trunc))
+    assert [r["warc_type"] for r in recs3] == ["conversion",
+                                               "__frame_error__"]
+    assert b"truncated payload" in recs3[1]["payload"]
 
 
 def test_response_records_carry_html_binary_byte_exact(spark, sf_dir):

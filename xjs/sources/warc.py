@@ -109,6 +109,15 @@ def parse_warc_records(buf: bytes) -> Iterator[dict]:
                    "payload": f"bad Content-Length at offset {pos}".encode()}
             return
         body_start = head_end + 4
+        if body_start + length > n:
+            # a shard cut mid-payload must be a ledger row, never a
+            # silently short record (upload/copy truncation is the
+            # common real-world corruption for 1 GB shards)
+            yield {"warc_type": "__frame_error__",
+                   "payload": (f"truncated payload at offset {pos}: "
+                               f"declared {length}, "
+                               f"{n - body_start} remain").encode()}
+            return
         payload = buf[body_start:body_start + length]
         yield {
             "record_id": headers.get("warc-record-id"),
