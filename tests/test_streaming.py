@@ -640,3 +640,48 @@ def test_streaming_char_clean_equals_batch(spark, sf_dir, tmp):
     assert got.join(
         corpus, "doc_id"
     ).filter(F.length("clean_text") < F.length("text")).count() > 0
+
+
+def test_streaming_warc_ingest_equals_batch(spark, sf_dir, tmp):
+    """WARC ingest on a file-source stream (shards landing over time)
+    == the batch reader over the same directory, including the
+    two-trigger incremental case: a second availableNow run processes
+    ONLY newly-landed shards, and the union equals the batch over all."""
+    import glob
+    import shutil as _sh
+
+    from xjs.sources.warc import (
+        read_warc_wet,
+        split_clean_quarantine,
+        write_warc_fixture,
+    )
+    from xjs.streaming import run_warc_ingest_availablenow
+
+    all_shards = write_warc_fixture(
+        spark, sf_dir, f"{tmp}/all-shards", compress=True)
+    names = sorted(glob.glob(f"{all_shards}/*.warc.gz"))
+    land = f"{tmp}/landing"
+    import os as _os
+
+    _os.makedirs(land, exist_ok=True)
+    for p in names[: len(names) // 2]:
+        _sh.copy(p, land)
+    run_warc_ingest_availablenow(
+        spark, land, f"{tmp}/clean", f"{tmp}/quar", f"{tmp}/ckpt")
+    n_first = spark.read.parquet(f"{tmp}/clean").count()
+    # second wave of shards lands; same checkpoint -> only new files
+    for p in names[len(names) // 2:]:
+        _sh.copy(p, land)
+    run_warc_ingest_availablenow(
+        spark, land, f"{tmp}/clean", f"{tmp}/quar", f"{tmp}/ckpt")
+
+    got_clean = spark.read.parquet(f"{tmp}/clean").drop("batch_id")
+    got_quar = spark.read.parquet(f"{tmp}/quar").drop("batch_id")
+    want_clean, want_quar = split_clean_quarantine(
+        read_warc_wet(spark, all_shards))
+    assert got_clean.count() > n_first > 0
+    assert got_clean.count() == want_clean.count()
+    assert got_clean.exceptAll(want_clean.select(got_clean.columns)).count() == 0
+    assert want_clean.select(got_clean.columns).exceptAll(got_clean).count() == 0
+    assert got_quar.count() == want_quar.count()
+    assert got_quar.exceptAll(want_quar.select(got_quar.columns)).count() == 0

@@ -164,13 +164,10 @@ def _decompress(content: bytes, chunk: int = 1 << 18) -> bytes:
     return b"".join(out)
 
 
-def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
-    """Directory of .warc/.warc.gz shards -> one row per WARC record.
-
-    File-grain tasks (binaryFile), one linear parse per shard inside
-    mapInPandas — Arrow-batched, no shuffle, no per-row Python UDF.
-    """
-    files = spark.read.format("binaryFile").load(path)
+def parse_wet_files(files: DataFrame) -> DataFrame:
+    """(content binary) rows -> one row per WARC record; works on both
+    batch and STREAMING frames (mapInPandas is stateless per file), so
+    the availableNow ingest twin routes through this exact plan."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["record_id", "warc_type", "url", "date_raw", "lang",
@@ -187,6 +184,15 @@ def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols + ["text"])
 
     return files.select("content").mapInPandas(parse, RECORD_SCHEMA)
+
+
+def read_warc_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of .warc/.warc.gz shards -> one row per WARC record.
+
+    File-grain tasks (binaryFile), one linear parse per shard inside
+    mapInPandas — Arrow-batched, no shuffle, no per-row Python UDF.
+    """
+    return parse_wet_files(spark.read.format("binaryFile").load(path))
 
 
 RESPONSE_SCHEMA = (

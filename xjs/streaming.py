@@ -512,3 +512,46 @@ def run_availablenow(
         .start()
     )
     q.awaitTermination()
+
+
+def run_warc_ingest_availablenow(
+    spark,
+    input_path: str,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of WARC/WET ingestion (sources/warc.py): crawl
+    shards LAND continuously, so the production ingest is a file-source
+    stream — each availableNow trigger picks up exactly the shards not
+    yet committed to the streaming checkpoint (exactly-once at FILE
+    grain, the right unit for WARC: a shard is one atomic upload).
+
+    Per micro-batch the shard bytes route through the IDENTICAL batch
+    plan (parse_wet_files -> split_clean_quarantine); both sinks go
+    through ``idempotent_batch_write`` so an at-least-once replay
+    overwrites its own partial output.  Stateless given the shard
+    (every record's verdict depends only on its own headers), so no
+    watermark — the twin-equivalence test pins stream == batch."""
+    from xjs.sources.warc import parse_wet_files, split_clean_quarantine
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(input_path)
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        clean, quarantine = split_clean_quarantine(
+            parse_wet_files(batch_df))
+        idempotent_batch_write(clean, clean_path, batch_id)
+        idempotent_batch_write(quarantine, quarantine_path, batch_id)
+
+    q = (
+        files.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
