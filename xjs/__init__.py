@@ -26,8 +26,14 @@ keyword dispatch — does all the work:
   canonicalization, domain reputation, boilerplate n-gram detection,
   PII scan/redaction, as-of joins (plain + time-bucketed), heavy
   hitters (batch + streaming Misra-Gries), sequence packing,
-  multimodal plumbing — the operations a web-scale training-data
-  pipeline needs.
+  multimodal plumbing, LM perplexity gates (bigram/trigram + CCNet
+  head/middle/tail buckets), bloom novelty prefilter, line/char-grain
+  corpus dedup with incremental cross-run state — the operations a
+  web-scale training-data pipeline needs.
+* **sources** (`xjs.sources`): parquet/Iceberg-probe tables, JSONL
+  crawls with corrupt-record quarantine, WARC/WET + raw response
+  shards (gzip-member framing, batch and streaming) — the formats a
+  crawl actually arrives in.
 
 Reference parity citations use ``file:line`` into /root/reference.
 """
