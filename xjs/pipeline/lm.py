@@ -432,14 +432,23 @@ def ccnet_buckets(
     concentrate on one task.  Zero-transition docs are unjudgeable
     and keep bucket 'head' (the permissive default), as do languages
     absent from the sample."""
-    scored = lm_score(df, artifact, text_col, id_col, hash_mode)
-    base = df.select(id_col, lang_col).join(scored, id_col)
-    judged = base.filter(F.col("n_transitions") > 0).select(
-        id_col, lang_col,
-        _floor_div(F.col("lp_sum"), F.col("n_transitions"))
-        .alias("score_key"),
-    )
-    sample = judged.filter(_sample_mask(F.col(id_col), sample_mod))
+    def keyed(d: DataFrame) -> DataFrame:
+        # score_key NULL for zero-transition (unjudgeable) docs
+        s = lm_score(d, artifact, text_col, id_col, hash_mode)
+        return d.select(id_col, lang_col).join(s, id_col).select(
+            id_col, lang_col,
+            F.when(
+                F.col("n_transitions") > 0,
+                _floor_div(F.col("lp_sum"), F.col("n_transitions")),
+            ).alias("score_key"),
+        )
+
+    # threshold sample: FILTER FIRST (the mask pushes into the scan),
+    # then score — the corpus is LM-scored exactly once in the main
+    # pass plus 1/sample_mod of it here, never twice in full
+    sample = keyed(
+        df.filter(_sample_mask(F.col(id_col), sample_mod))
+    ).filter(F.col("score_key").isNotNull())
 
     from pyspark.sql import Window
 
@@ -457,19 +466,16 @@ def ccnet_buckets(
         F.max(F.when(F.col("rn") == k1, F.col("score_key"))).alias("t1"),
         F.max(F.when(F.col("rn") == k2, F.col("score_key"))).alias("t2"),
     )
-    out = judged.join(F.broadcast(thresholds), lang_col, "left").select(
+    # one main branch, no union: unjudgeable docs fold into the same
+    # projection (NULL score_key -> 'head', the permissive default)
+    return keyed(df).join(F.broadcast(thresholds), lang_col, "left").select(
         id_col, lang_col, "score_key",
-        F.when(F.col("t1").isNull(), F.lit("head"))
+        F.when(F.col("score_key").isNull(), F.lit("head"))
+        .when(F.col("t1").isNull(), F.lit("head"))
         .when(F.col("score_key") >= F.col("t1"), F.lit("head"))
         .when(F.col("score_key") >= F.col("t2"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
-    unjudged = base.filter(F.col("n_transitions") == 0).select(
-        id_col, lang_col,
-        F.lit(None).cast("long").alias("score_key"),
-        F.lit("head").alias("bucket"),
-    )
-    return out.unionByName(unjudged)
 
 
 def q_lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
