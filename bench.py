@@ -493,6 +493,27 @@ def build_queries(spark, sf_dir: str, factor: int):
         clean, _ = split_clean_quarantine(read_warc_wet(spark, warc_path))
         return force(clean)
 
+    # raw-crawl-to-text at bench scale: the same 1M pages as WARC
+    # 'response' records (html binary inside HTTP/1.1 messages, gzip
+    # members) -> framing parse -> HTTP strip -> scan-fused extraction
+    resp_path = wp_path + "-warcresp-v1"
+
+    def q_warc_html_extract():
+        from xjs.pipeline.html import html_extract_text
+        from xjs.sources.warc import read_warc_responses, write_warc_fixture
+
+        write_warc_fixture(
+            spark, sf_dir, resp_path, compress=True,
+            df=spark.read.parquet(wp_path).select(
+                "doc_id", "source", "text", "lang", "html"),
+            n_shards=64, kind="response",
+        )
+        recs = read_warc_responses(spark, resp_path)
+        return force(
+            html_extract_text(recs.filter(F.octet_length("html") > 0))
+            .select("record_id", "extracted_text")
+        )
+
     def q_bloom_novel():
         # bloom prefilter at scale: 500k history urls -> bit array,
         # ~333k probes, exact verify join only over the survivors
@@ -560,6 +581,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "lm_perplexity": q_lm_perplexity,
         "jsonl_ingest": q_jsonl_ingest,
         "warc_ingest": q_warc_ingest,
+        "warc_html_extract": q_warc_html_extract,
         "bloom_novel": q_bloom_novel,
         "dynamic_json_udf": q_dynamic_udf,
     }

@@ -302,7 +302,10 @@ def _doc_record(doc_id: int, source: str, text: str, lang: str,
         headers += [("WARC-Identified-Content-Language", lang or ""),
                     ("Content-Type", "text/plain")]
     else:  # raw-crawl response: HTTP/1.1 message wrapping the html
-        body = (html or "").encode("utf-8")
+        if isinstance(html, (bytes, bytearray)):
+            body = bytes(html)
+        else:
+            body = (html or "").encode("utf-8")
         payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                    + f"Content-Length: {len(body)}\r\n\r\n".encode()
                    + body)
