@@ -141,3 +141,43 @@ def test_boilerplate_edges_variant(spark):
     assert "head one two three four" in gs
     assert "five six seven eight" in " ".join(gs)
     assert not any(g.startswith("m50 ") for g in gs)  # middle skipped
+
+
+# ---------------------------------------------------------------------------
+# fixed-k global sample
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_k_sample_exact_deterministic_partition_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.sampling import fixed_k_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    a = fixed_k_sample(d.coalesce(1), "doc_id", 37)
+    b = fixed_k_sample(d.repartition(16), "doc_id", 37)
+    assert a.count() == b.count() == 37
+    assert a.exceptAll(b).count() == 0
+    # ranks are 1..k by variate order
+    assert sorted(r.sample_rank for r in a.collect()) == list(range(1, 38))
+    # k >= N degenerates to the whole table
+    n = d.count()
+    assert fixed_k_sample(d, "doc_id", n + 50).count() == n
+    # different seeds give different samples (same size)
+    c = fixed_k_sample(d, "doc_id", 37, seed="other")
+    assert c.count() == 37
+    assert c.select("doc_id").exceptAll(a.select("doc_id")).count() > 0
+
+
+def test_fixed_k_sample_plan_is_take_ordered(spark, sf_dir):
+    """The scale contract: local k-heaps + bounded merge, never a
+    global sort exchange of the corpus."""
+    from xjs.pipeline.sampling import fixed_k_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = (
+        fixed_k_sample(d, "doc_id", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

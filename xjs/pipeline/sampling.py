@@ -179,3 +179,61 @@ def oracle_sample_weighted_sql() -> str:
 SELECT doc_id, lang, {q} AS weight FROM documents
 WHERE ({_uniform_bp_sql("doc_id")}) < CAST(round(({q}) * {WEIGHT_BASIS}) AS BIGINT)
 """
+
+
+# ---------------------------------------------------------------------------
+# exact fixed-size global sample (the reservoir-sample slot)
+# ---------------------------------------------------------------------------
+
+FIXED_K = 100
+_FIXED_SEED = "fixedk"
+
+
+def _md5_variate(col: Column, seed: str) -> Column:
+    """60-bit md5 variate (the mixture/export arithmetic, bit-exact in
+    DuckDB).  Hashed — not id-affine — so id-structured corpora can't
+    bias the sample (the ccnet sample-selector lesson)."""
+    key = F.md5(F.concat(col.cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+
+
+def _md5_variate_sql(expr: str, seed: str) -> str:
+    return f"('0x' || substr(md5({expr}::VARCHAR || '#{seed}'), 1, 15))::BIGINT"
+
+
+def fixed_k_sample(
+    df: DataFrame, id_col: str, k: int = FIXED_K, seed: str = _FIXED_SEED
+) -> DataFrame:
+    """EXACTLY min(k, N) rows, uniform without replacement,
+    deterministic and partitioning-invariant: the k smallest md5
+    variates.  Appends ``sample_rank`` (1-based by variate).
+
+    This replaces driver-side reservoir sampling at scale: ``orderBy
+    LIMIT k`` compiles to TakeOrderedAndProject — each task keeps a
+    local k-heap and only the bounded partials merge (plan-asserted
+    in tests) — so the corpus is scanned once and NOTHING is globally
+    sorted or shuffled.  The same-snapshot-same-sample property the
+    module contract demands falls out of the variate being a pure
+    function of the id."""
+    v = _md5_variate(F.col(id_col), seed)
+    top = df.withColumn("_v", v).orderBy("_v", id_col).limit(k)
+    w = Window.orderBy("_v", id_col)  # k rows, one bounded partition
+    return top.withColumn("sample_rank", F.row_number().over(w)).drop("_v")
+
+
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    return fixed_k_sample(d, "doc_id", FIXED_K)
+
+
+def oracle_sample_fixed_k_sql() -> str:
+    return f"""
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (
+           ORDER BY {_md5_variate_sql("doc_id", _FIXED_SEED)}, doc_id
+       ) AS sample_rank
+FROM documents
+ORDER BY {_md5_variate_sql("doc_id", _FIXED_SEED)}, doc_id
+LIMIT {FIXED_K}
+"""
