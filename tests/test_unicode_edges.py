@@ -109,3 +109,47 @@ def test_canonical_url_unicode_paths(spark):
     got = {r["u"]: r["c"] for r in df.select(
         "u", urls.canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+# ---------------------------------------------------------------------------
+# NFC normalization
+# ---------------------------------------------------------------------------
+
+
+def test_nfc_folds_decomposed_into_precomposed_dedup_keys(spark, sf_dir):
+    """The op's purpose: after NFC, the decomposed-injected rows carry
+    the SAME suffix bytes as the precomposed-injected rows, so
+    byte-keyed dedup collides them; ASCII rows pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from xjs.pipeline.text import (
+        NFC_DECOMPOSED,
+        NFC_PRECOMPOSED,
+        normalize_nfc,
+        q_text_normalize_nfc,
+    )
+
+    assert NFC_DECOMPOSED != NFC_PRECOMPOSED  # different bytes...
+    import unicodedata
+
+    assert unicodedata.normalize("NFC", NFC_DECOMPOSED) == NFC_PRECOMPOSED
+
+    out = q_text_normalize_nfc(spark, sf_dir).cache()
+    dec = out.filter(F.col("doc_id") % 7 == 2)
+    pre = out.filter(F.col("doc_id") % 7 == 4)
+    ascii_rows = out.filter(~F.col("doc_id").isin(
+        *[r.doc_id for r in out.filter(
+            (F.col("doc_id") % 7 == 2) | (F.col("doc_id") % 7 == 4)
+        ).collect()]))
+    assert dec.filter(~F.col("nfc_changed")).count() == 0
+    assert dec.filter(~F.col("text_nfc").endswith(NFC_PRECOMPOSED)).count() == 0
+    assert pre.filter(F.col("nfc_changed")).count() == 0
+    assert ascii_rows.filter(F.col("nfc_changed")).count() == 0
+    out.unpersist()
+
+    # null text propagates
+    df = spark.createDataFrame([(1, None), (2, "plain")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in normalize_nfc(df).collect()}
+    assert rows[1].text_nfc is None and rows[1].nfc_changed is False
+    assert rows[2].text_nfc == "plain" and rows[2].nfc_changed is False

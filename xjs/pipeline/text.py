@@ -460,3 +460,91 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (the unicode tier above dedup_normalized)
+# ---------------------------------------------------------------------------
+
+#: injected by the fixture query at doc_id%7==2: a DECOMPOSED suffix
+#: (e + U+0301) that NFC must fold into the PRECOMPOSED form injected
+#: at doc_id%7==4 — so normalized dedup keys collide across the two
+#: residues by construction
+NFC_DECOMPOSED = " caf" + "e\u0301"  # decomposed: e + COMBINING ACUTE
+NFC_PRECOMPOSED = " caf" + "\u00e9"  # precomposed (the NFC form)
+
+
+def normalize_nfc(df: DataFrame, text_col: str = "text",
+                  out_col: str = "text_nfc") -> DataFrame:
+    """df + ``out_col`` (NFC form) + ``nfc_changed`` (row was not
+    already normalized).  Web text mixes precomposed and decomposed
+    codepoint sequences for the SAME rendered string; byte-keyed ops
+    (exact dedup digests, line/char window keys, substring spans)
+    treat them as different documents unless this runs first.
+
+    CPython's ``unicodedata.normalize`` (a C loop) inside
+    ``mapInPandas`` with an ``str.isascii()`` fast path — web text is
+    overwhelmingly ASCII, so most rows cost one C scan and zero
+    allocations; narrow, zero shuffle.  NOT Arrow's
+    ``utf8_normalize``: pyarrow 16.1 ignores the ``form`` option and
+    returns NFD for every form (probed; all three forms decompose
+    U+00E9).  The oracle is a real cross-IMPLEMENTATION check:
+    DuckDB normalizes with utf8proc, this path with CPython's
+    unicodedata — a green row means two independent Unicode
+    implementations agree on every row."""
+    import unicodedata
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out_col} string, nfc_changed boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        norm = unicodedata.normalize
+        for pdf in batches:
+            out = pdf.copy()
+            vals = [
+                s if not isinstance(s, str) or s.isascii()
+                else norm("NFC", s)
+                for s in pdf[text_col]
+            ]
+            out[out_col] = pd.Series(vals, index=pdf.index, dtype=object)
+            out["nfc_changed"] = [
+                isinstance(s, str) and v != s
+                for s, v in zip(pdf[text_col], vals)
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 2,
+               F.concat(F.col("text"), F.lit(NFC_DECOMPOSED)))
+        .when(F.col("doc_id") % 7 == 4,
+              F.concat(F.col("text"), F.lit(NFC_PRECOMPOSED)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_nfc(corpus).select("doc_id", "text_nfc", "nfc_changed")
+
+
+def oracle_text_normalize_nfc_sql() -> str:
+    # independent implementation: utf8proc's NFC vs Arrow's
+    return """
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 2 THEN text || ' caf' || 'e' || chr(769)
+                WHEN doc_id % 7 = 4 THEN text || ' caf' || chr(233)
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       nfc_normalize(text) != text AS nfc_changed
+FROM corpus
+"""
