@@ -109,3 +109,49 @@ def test_query_matches_exact_semantics(spark, sf_dir):
     want = new.join(hist, "doc_id", "left_anti")
     assert got.count() == want.count()
     assert got.select("doc_id").exceptAll(want).count() == 0
+
+
+def test_state_fold_equals_single_pass_build(spark, keys, tmp_path):
+    """bloom(A ∪ B ∪ C) == fold of per-slice blooms, bit for bit —
+    set union IS bitwise OR; slices may overlap."""
+    import os
+
+    from xjs.pipeline.bloom import bloom_build, bloom_from_state, bloom_state_update
+
+    member, _ = keys
+    slices = [
+        member.filter(F.col("key").substr(3, 1).isin("0", "1", "2")),
+        member.filter(F.col("key").substr(3, 1).isin("2", "3", "4", "5")),
+        member.filter(~F.col("key").substr(3, 1).isin("0", "1", "2", "3",
+                                                      "4", "5")),
+    ]
+    prev = None
+    for i, sl in enumerate(slices):
+        d = os.path.join(tmp_path, f"day{i}")
+        bloom_state_update(spark, sl, "key", d, prev,
+                           n_bits=1 << 14, k=4)
+        prev = d
+    folded, n_bits, k = bloom_from_state(prev)
+    assert (n_bits, k) == (1 << 14, 4)
+    assert folded == bloom_build(member, "key", n_bits=1 << 14, k=4)
+    # replay is a no-op returning the stored words
+    again = bloom_state_update(spark, slices[-1], "key", prev,
+                               os.path.join(tmp_path, "day1"),
+                               n_bits=1 << 14, k=4)
+    assert again == folded
+
+
+def test_state_fold_rejects_param_mismatch(spark, keys, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from xjs.pipeline.bloom import bloom_state_update
+
+    member, _ = keys
+    d0 = os.path.join(tmp_path, "p0")
+    bloom_state_update(spark, member, "key", d0, None, n_bits=1 << 14, k=4)
+    with _pytest.raises(ValueError, match="params changed"):
+        bloom_state_update(spark, member, "key",
+                           os.path.join(tmp_path, "p1"), d0,
+                           n_bits=1 << 15, k=4)

@@ -214,3 +214,88 @@ new AS (
 SELECT n.doc_id, n.url FROM new n
 WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.url = n.url)
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-run state (daily-ingest shape)
+# ---------------------------------------------------------------------------
+
+#: state schema version — bump on any change to hashing or layout
+BLOOM_STATE_VERSION = 1
+
+
+def _state_file(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "bloom.bin")
+
+
+def bloom_state_update(
+    spark: SparkSession,
+    new_df: DataFrame,
+    key_col: str,
+    state_dir: str,
+    prev_state_dir: str | None = None,
+    n_bits: int = DEFAULT_N_BITS,
+    k: int = DEFAULT_K,
+) -> bytes:
+    """Fold one new slice into persisted bloom state: build the
+    slice's filter, OR it with the previous day's words, store.
+
+    Set union IS bitwise OR here — ``bloom(A ∪ B) == bloom(A) |
+    bloom(B)`` exactly (each key sets the same bits whichever slice
+    it arrives in), so any disjoint-or-overlapping slice fold order
+    equals the single-pass build over the union (test-pinned).  The
+    daily win: history is NEVER rescanned — each day costs one narrow
+    scan of the NEW slice plus an O(filter-size) OR.
+
+    Blooms cannot delete and fpp grows with fill; `n_bits`/`k` are
+    part of the state contract (mismatched params raise — resizing
+    means a one-time rebuild from the key registry).  _SUCCESS-guarded
+    like every other state family: a replayed day is a no-op."""
+    import json
+    import os
+
+    done = os.path.join(state_dir, "_SUCCESS")
+    if os.path.exists(done):
+        with open(_state_file(state_dir), "rb") as fh:
+            return fh.read()
+    os.makedirs(state_dir, exist_ok=True)
+    words = np.frombuffer(
+        bloom_build(new_df, key_col, n_bits=n_bits, k=k), dtype=np.uint64
+    ).copy()
+    if prev_state_dir is not None:
+        meta_p = os.path.join(prev_state_dir, "bloom.meta.json")
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if (meta["n_bits"], meta["k"], meta["version"]) != (
+            n_bits, k, BLOOM_STATE_VERSION
+        ):
+            raise ValueError(
+                f"bloom state params changed ({meta} vs n_bits={n_bits} "
+                f"k={k} v{BLOOM_STATE_VERSION}): rebuild from the key "
+                "registry instead of folding"
+            )
+        with open(_state_file(prev_state_dir), "rb") as fh:
+            prev = np.frombuffer(fh.read(), dtype=np.uint64)
+        words |= prev
+    blob = words.tobytes()
+    with open(_state_file(state_dir), "wb") as fh:
+        fh.write(blob)
+    with open(os.path.join(state_dir, "bloom.meta.json"), "w") as fh:
+        json.dump({"n_bits": n_bits, "k": k,
+                   "version": BLOOM_STATE_VERSION}, fh)
+    with open(done, "w") as fh:
+        fh.write("")
+    return blob
+
+
+def bloom_from_state(state_dir: str) -> tuple[bytes, int, int]:
+    """(words, n_bits, k) from a completed state dir."""
+    import json
+    import os
+
+    with open(os.path.join(state_dir, "bloom.meta.json")) as fh:
+        meta = json.load(fh)
+    with open(_state_file(state_dir), "rb") as fh:
+        return fh.read(), meta["n_bits"], meta["k"]
