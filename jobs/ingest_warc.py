@@ -56,6 +56,15 @@ def main() -> None:
                     help="write the updated url registry (history ∪ this "
                          "slice's clean urls, distinct) for the NEXT day's "
                          "--history-urls — the cross-day novelty chain")
+    ap.add_argument("--bloom-state-in", default=None,
+                    help="prior day's folded bloom state: probe with it "
+                         "instead of rebuilding the filter from the full "
+                         "registry (history is never rescanned for the "
+                         "probe; the exact verify join still reads "
+                         "--history-urls)")
+    ap.add_argument("--bloom-state-out", default=None,
+                    help="fold this slice's clean urls into bloom state "
+                         "for the NEXT day's --bloom-state-in")
     ap.add_argument("--tolerate-frame-errors", action="store_true")
     args = ap.parse_args()
 
@@ -68,7 +77,11 @@ def main() -> None:
     spark = SparkSession.builder.appName("xjs-ingest-warc").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    from xjs.pipeline.bloom import novel_keys
+    from xjs.pipeline.bloom import (
+        bloom_from_state,
+        bloom_state_update,
+        novel_keys,
+    )
     from xjs.sources.warc import read_warc_wet, split_clean_quarantine
 
     t0 = time.perf_counter()
@@ -100,10 +113,19 @@ def main() -> None:
     n_novel = None
     if args.history_urls:
         hist = spark.read.parquet(args.history_urls).select("url")
+        n_bits, k, blob = args.bloom_bits, args.bloom_k, None
+        if args.bloom_state_in:
+            blob, n_bits, k = bloom_from_state(args.bloom_state_in)
         novel = novel_keys(clean_stored, hist, "url",
-                           n_bits=args.bloom_bits, k=args.bloom_k)
+                           n_bits=n_bits, k=k, bloom=blob)
         novel.write.mode("overwrite").parquet(os.path.join(args.out, "novel"))
         n_novel = spark.read.parquet(os.path.join(args.out, "novel")).count()
+
+    if args.bloom_state_out:
+        bloom_state_update(
+            spark, clean_stored.select("url"), "url",
+            args.bloom_state_out, args.bloom_state_in,
+            n_bits=args.bloom_bits, k=args.bloom_k)
 
     n_history = None
     if args.history_out:
@@ -130,6 +152,8 @@ def main() -> None:
            if args.history_urls else {}),
         **({"n_history_urls": n_history, "history_out": args.history_out}
            if args.history_out else {}),
+        **({"bloom_state_out": args.bloom_state_out}
+           if args.bloom_state_out else {}),
         "wall_sec": round(time.perf_counter() - t0, 2),
     }
     line = json.dumps(manifest)

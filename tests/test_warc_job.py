@@ -139,16 +139,22 @@ def test_cross_day_novelty_chain(spark, sf_dir, run):
         shard_dirs.append(p)
     out0 = os.path.join(base, "chain-day0")
     reg0 = os.path.join(base, "chain-reg0")
+    bs0 = os.path.join(base, "chain-bloom0")
     p0 = _submit("--input", shard_dirs[0], "--out", out0,
-                 "--history-out", reg0)
+                 "--history-out", reg0, "--bloom-state-out", bs0)
     assert p0.returncode == 0, p0.stderr[-2000:]
     m0 = json.loads(p0.stdout.strip().splitlines()[-1])
     out1 = os.path.join(base, "chain-day1")
     reg1 = os.path.join(base, "chain-reg1")
+    bs1 = os.path.join(base, "chain-bloom1")
+    # day1 probes the FOLDED day0 bloom state (history never rescanned
+    # for the probe) and folds its own urls forward
     p1 = _submit("--input", shard_dirs[1], "--out", out1,
-                 "--history-urls", reg0, "--history-out", reg1)
+                 "--history-urls", reg0, "--history-out", reg1,
+                 "--bloom-state-in", bs0, "--bloom-state-out", bs1)
     assert p1.returncode == 0, p1.stderr[-2000:]
     m1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert os.path.exists(os.path.join(bs1, "_SUCCESS"))
     # bootstrap registry = day0's distinct clean urls
     clean0 = spark.read.parquet(os.path.join(out0, "clean"))
     clean1 = spark.read.parquet(os.path.join(out1, "clean"))

@@ -156,13 +156,20 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: bytes,
 
 
 def novel_keys(new_df: DataFrame, history_df: DataFrame, key_col: str,
-               n_bits: int = DEFAULT_N_BITS, k: int = DEFAULT_K) -> DataFrame:
+               n_bits: int = DEFAULT_N_BITS, k: int = DEFAULT_K,
+               bloom: bytes | None = None) -> DataFrame:
     """EXACT set of ``new_df`` rows whose key is absent from
     ``history_df`` — bloom prefilter + anti-join verify of the
     survivors only.  Bloom-cleared rows (no false negatives) bypass
     the join entirely, so the row-bearing shuffle is proportional to
-    the duplicate rate + fpp, not the corpus."""
-    bloom = bloom_build(history_df, key_col, n_bits=n_bits, k=k)
+    the duplicate rate + fpp, not the corpus.
+
+    Pass ``bloom`` (e.g. from ``bloom_from_state``) to skip the build
+    — the incremental shape where the filter is OR-folded daily.  The
+    filter must COVER history_df's keys (no false negatives vs it);
+    extra set bits only cost fpp, never correctness."""
+    if bloom is None:
+        bloom = bloom_build(history_df, key_col, n_bits=n_bits, k=k)
     probed = bloom_probe(new_df, key_col, bloom, n_bits=n_bits, k=k)
     definite = probed.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
     candidates = probed.filter(F.col("bloom_maybe")).drop("bloom_maybe")
