@@ -685,3 +685,32 @@ def test_streaming_warc_ingest_equals_batch(spark, sf_dir, tmp):
     assert want_clean.select(got_clean.columns).exceptAll(got_clean).count() == 0
     assert got_quar.count() == want_quar.count()
     assert got_quar.exceptAll(want_quar.select(got_quar.columns)).count() == 0
+
+
+def test_streaming_novelty_gate_equals_batch(spark, sf_dir, tmp):
+    """Bloom novelty gate on a stream of landed clean batches == the
+    batch novel_keys over the same rows vs the same fixed history."""
+    from xjs.pipeline.bloom import novel_keys
+    from xjs.streaming import run_novelty_gate_availablenow
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hist = d.filter(F.col("doc_id") % 2 == 0).select("url")
+    hist.write.parquet(f"{tmp}/history")
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    new.filter(F.col("doc_id") < 250).write.parquet(f"{tmp}/in/b1")
+    new.filter(F.col("doc_id") >= 250).write.parquet(f"{tmp}/in/b2")
+
+    run_novelty_gate_availablenow(
+        spark, f"{tmp}/in", f"{tmp}/history", f"{tmp}/novel",
+        f"{tmp}/ckpt", key_col="url", n_bits=1 << 16, k=5)
+
+    got = spark.read.parquet(f"{tmp}/novel").drop("batch_id")
+    want = novel_keys(new, spark.read.parquet(f"{tmp}/history"), "url",
+                      n_bits=1 << 16, k=5)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want.select(got.columns)).count() == 0
+    assert want.select(got.columns).exceptAll(got).count() == 0

@@ -555,3 +555,56 @@ def run_warc_ingest_availablenow(
         .start()
     )
     q.awaitTermination()
+
+
+def run_novelty_gate_availablenow(
+    spark,
+    input_path: str,
+    history_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    key_col: str = "url",
+    bloom_state_dir: str | None = None,
+    n_bits: int = 1 << 23,
+    k: int = 5,
+) -> None:
+    """Streaming twin of the ingest job's novelty gate: clean rows
+    land as parquet batches; each micro-batch probes the bloom (built
+    once from the history table, or read from OR-folded state) and
+    exact-verifies only the survivors against history — the per-batch
+    plan is novel_keys verbatim, so stream == batch by construction
+    (test-pinned).  The history snapshot is FIXED for the run (the
+    drift-baseline/boilerplate-twin contract); novelty *within* the
+    stream is the batch pipeline's job on the accumulated day.
+    Idempotent batch_id sink."""
+    from xjs.pipeline.bloom import bloom_build, bloom_from_state, novel_keys
+
+    hist = spark.read.parquet(history_path).select(key_col)
+    if bloom_state_dir is not None:
+        blob, n_bits, k = bloom_from_state(bloom_state_dir)
+    else:
+        blob = bloom_build(hist, key_col, n_bits=n_bits, k=k)
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(input_path).schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_path)
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_batch_write(
+            novel_keys(batch_df, hist, key_col,
+                       n_bits=n_bits, k=k, bloom=blob),
+            out_path, batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
