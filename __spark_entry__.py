@@ -51,6 +51,7 @@ from xjs.pipeline import (  # noqa: E402
     select,
     sessions,
     similarity,
+    splits,
     suffix,
     text,
     urls,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ccnet_buckets": lm.q_lm_ccnet_buckets,
         "sample_fixed_k": sampling.q_sample_fixed_k,
         "text_normalize_nfc": text.q_text_normalize_nfc,
+        "split_leakage_safe": splits.q_split_leakage_safe,
         "char_dedup_spans": suffix.q_char_spans,
         "char_dedup_remove": suffix.q_char_remove,
         "char_dedup_incremental": suffix.q_char_incremental,
@@ -199,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_ccnet_buckets": lm.oracle_lm_ccnet_buckets_sql(),
         "sample_fixed_k": sampling.oracle_sample_fixed_k_sql(),
         "text_normalize_nfc": text.oracle_text_normalize_nfc_sql(),
+        "split_leakage_safe": splits.oracle_split_leakage_safe_sql(),
         "jsonl_ingest_clean": jsonl.oracle_jsonl_clean_sql(),
         "jsonl_ingest_quarantine": jsonl.oracle_jsonl_quarantine_sql(),
         "token_count_real": bpe.oracle_token_count_real_sql(),
