@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed in round 5: inside the 50-row window so
         # every one gets its FIRST (or post-change) driver row now ---
         "warc_ingest_clean": warc.q_warc_ingest_clean,
+        "warc_ingest_split": warc.q_warc_ingest_split,
         "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
         "bloom_novel_urls": bloom.q_bloom_novel_urls,
         "warc_html_extract": warc.q_warc_html_extract,
@@ -195,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
         "char_dedup_incremental": suffix.oracle_char_incremental_sql(),
         "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
         "warc_ingest_clean": warc.oracle_warc_clean_sql(),
+        # split reader must invert the generator exactly like the
+        # whole-file reader: same constructive oracle
+        "warc_ingest_split": warc.oracle_warc_clean_sql(),
         "warc_ingest_quarantine": warc.oracle_warc_quarantine_sql(),
         "bloom_novel_urls": bloom.oracle_bloom_novel_sql(),
         "warc_html_extract": warc.oracle_warc_html_extract_sql(),

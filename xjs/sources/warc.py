@@ -271,6 +271,226 @@ def split_clean_quarantine(records: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# split-within-shard reader (byte-range tasks over one big .warc.gz)
+# ---------------------------------------------------------------------------
+#
+# File-grain parallelism is right for ~1 GB Common-Crawl shards; if a
+# producer ships 10-100 GB shards instead, one file = one task stops
+# bounding task size.  The CC layout (one gzip MEMBER per record) is
+# what makes mid-file splits possible at all: member starts are
+# resynchronizable marks.  The reader plans (path, start, end) byte
+# ranges from file METADATA only (no content read), and each task:
+#
+#   1. SYNCs to the first gzip-member start >= its range start by
+#      scanning for the member magic and VERIFYING each candidate —
+#      a full-member decompress whose payload must start with
+#      b"WARC/" — so a magic byte-sequence occurring by chance inside
+#      compressed data can never misalign the walk (test-pinned).
+#   2. WALKs exact member boundaries from the sync point: zlib's
+#      ``unused_data`` gives the consumed length, so after the one
+#      verified sync every boundary is authoritative, not scanned.
+#   3. OWNs exactly the members whose start offset lies in
+#      [start, end) — a member start belongs to exactly one range, so
+#      the union over tasks parses every record exactly once with no
+#      coordination (the same ownership rule as Hadoop text splits).
+#
+# Memory per task is one readahead window + one decompressed member
+# (one page), NOT one shard — the boundedness claim at 10x shard
+# growth.  Frame corruption inside a range surfaces as the same
+# ``__frame_error__`` ledger row as the whole-file reader.  Plain
+# (uncompressed) .warc shards have no resync marks, so they fall back
+# to a single full-file range.
+
+_MEMBER_MAGIC = b"\x1f\x8b\x08"   # gzip magic + deflate method
+_FEED = 1 << 16                   # zlib feed granularity (bounds unused_data)
+_SCAN_CHUNK = 1 << 22             # readahead granularity
+
+
+def _open_input(path: str):
+    """Open a (possibly URI-form) file for random access via
+    pyarrow.fs — the same call works for file:/, hdfs://, s3:// when
+    the filesystem is available to the worker."""
+    from pyarrow import fs as pafs
+
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        return pafs.LocalFileSystem().open_input_file(local)
+    if "://" in path:
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        return filesystem.open_input_file(p)
+    return pafs.LocalFileSystem().open_input_file(path)
+
+
+class _Window:
+    """Growing, front-trimmable byte window over a file from ``base``."""
+
+    def __init__(self, f, base: int, file_len: int):
+        self.f = f
+        self.base = base  # absolute file offset of buf[0]
+        self.file_len = file_len
+        self.buf = b""
+        f.seek(base)
+
+    def extend(self) -> bool:
+        got = self.f.read(_SCAN_CHUNK)
+        if not got:
+            return False
+        self.buf += got
+        return True
+
+    def end(self) -> int:
+        return self.base + len(self.buf)
+
+    def at(self, abs_pos: int) -> int:
+        return abs_pos - self.base
+
+    def trim(self, abs_pos: int) -> None:
+        rel = self.at(abs_pos)
+        if rel > _SCAN_CHUNK:  # amortize: only drop >=1 chunk at a time
+            self.buf = self.buf[rel:]
+            self.base += rel
+
+
+def _member_at(win: _Window, s: int):
+    """Decompress ONE complete gzip member starting at absolute ``s``.
+    Returns (payload, next_member_abs) or None if ``s`` is not a valid
+    member start (bad header / corrupt stream / truncated at EOF)."""
+    d = zlib.decompressobj(31)
+    out = []
+    fed_end = s
+    while True:
+        rel = win.at(fed_end)
+        if rel >= len(win.buf) and not win.extend():
+            return None  # truncated member
+        piece = win.buf[win.at(fed_end):win.at(fed_end) + _FEED]
+        try:
+            out.append(d.decompress(piece))
+        except zlib.error:
+            return None
+        fed_end += len(piece)
+        if d.eof:
+            return b"".join(out), fed_end - len(d.unused_data)
+
+
+def iter_range_members(f, file_len: int, start: int, end: int):
+    """Yield (member_start_abs, payload) for every gzip member whose
+    start offset lies in [start, end); a mid-walk corrupt member
+    yields (offset, None) once and stops (ledger contract)."""
+    win = _Window(f, start, file_len)
+    if start == 0:
+        s = 0  # offset 0 is a member start by construction
+    else:
+        s = None
+        pos = start
+        while s is None:
+            rel = win.buf.find(_MEMBER_MAGIC, win.at(pos))
+            while rel < 0 and win.end() < min(end + len(_MEMBER_MAGIC),
+                                              file_len):
+                if not win.extend():
+                    break
+                rel = win.buf.find(_MEMBER_MAGIC, win.at(pos))
+            if rel < 0 or win.base + rel >= end:
+                return  # no member starts in this range
+            cand = win.base + rel
+            m = _member_at(win, cand)
+            if m is not None and m[0][:5] == b"WARC/":
+                s = cand  # verified sync point
+            else:
+                pos = cand + 1
+    while s < end:
+        m = _member_at(win, s)
+        if m is None:
+            yield s, None
+            return
+        payload, nxt = m
+        yield s, payload
+        if nxt <= s:
+            return
+        win.trim(nxt)
+        s = nxt
+
+
+def plan_warc_splits(spark: SparkSession, path: str,
+                     target_split_bytes: int = 32 << 20) -> list[tuple]:
+    """(path, start, end, file_len) ranges from file metadata only.
+
+    The binaryFile listing is column-pruned to (path, length) — file
+    STATUS, no bytes read — and the collect is bounded by the shard
+    count (the same bounded class as the checkpoint manifest).  Plain
+    .warc files get one full-file range (no resync marks)."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "length").collect())
+    rows = []
+    for r in sorted(files, key=lambda x: x.path):
+        if r.length <= 0:
+            continue
+        if r.path.endswith(".gz"):
+            n = max(1, -(-int(r.length) // target_split_bytes))
+        else:
+            n = 1
+        step = -(-int(r.length) // n)
+        for i in range(n):
+            lo = i * step
+            hi = min((i + 1) * step, int(r.length))
+            if lo < hi:
+                rows.append((r.path, lo, hi, int(r.length)))
+    return rows
+
+
+def read_warc_wet_split(
+    spark: SparkSession, path: str, target_split_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Directory of .warc/.warc.gz shards -> one row per WARC record,
+    parallelized WITHIN shards by byte range (exactly-once per record:
+    a member start belongs to exactly one range).
+
+    Same output frame as ``read_warc_wet``; use when shards are large
+    relative to (file count / cluster cores)."""
+    rows = plan_warc_splits(spark, path, target_split_bytes)
+    splits = spark.createDataFrame(
+        rows, "path string, start long, end long, file_len long")
+    # one tiny row per range; spread ranges round-robin across tasks
+    splits = splits.repartition(max(1, len(rows)))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["record_id", "warc_type", "url", "date_raw", "lang",
+                "content_type"]
+        for pdf in batches:
+            out = []
+            for path_, start, end, flen in zip(
+                    pdf["path"], pdf["start"], pdf["end"], pdf["file_len"]):
+                f = _open_input(path_)
+                try:
+                    if not path_.endswith(".gz"):
+                        # plain shard: single full-file range, existing parse
+                        blob = f.read()
+                        members = [(0, blob)]
+                    else:
+                        members = iter_range_members(
+                            f, int(flen), int(start), int(end))
+                    for off, payload in members:
+                        if payload is None:
+                            out.append([None, "__frame_error__", None, None,
+                                        None, None,
+                                        f"corrupt gzip member at offset "
+                                        f"{off} of {path_}"])
+                            continue
+                        for rec in parse_warc_records(payload):
+                            p = rec.get("payload")
+                            out.append(
+                                [rec.get(c) for c in cols]
+                                + [p.decode("utf-8", errors="replace")
+                                   if p is not None else None])
+                finally:
+                    f.close()
+            yield pd.DataFrame(out, columns=cols + ["text"])
+
+    return splits.mapInPandas(parse, RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # deterministic fixture (WET shards derived from the documents table)
 # ---------------------------------------------------------------------------
 
@@ -419,6 +639,23 @@ def q_warc_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     record-id convention (<urn:xjs:doc:{id}>) — gzip path, the real
     Common-Crawl layout."""
     clean, _ = _ingest(spark, sf_dir, compress=True)
+    return clean.select(
+        F.regexp_extract("record_id", r"urn:xjs:doc:(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "url", "warc_ts", "text", "lang",
+    )
+
+
+def q_warc_ingest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same clean rows as ``q_warc_ingest_clean`` but through the
+    split-within-shard reader at a 64 KiB target split, so every
+    fixture shard fans out into many byte-range tasks — the oracle
+    (identical to the whole-file reader's) proves the range ownership
+    rule loses and duplicates nothing across split boundaries."""
+    path = write_warc_fixture(
+        spark, sf_dir, _fixture_path(sf_dir, True), compress=True)
+    clean, _ = split_clean_quarantine(
+        read_warc_wet_split(spark, path, target_split_bytes=64 << 10))
     return clean.select(
         F.regexp_extract("record_id", r"urn:xjs:doc:(\d+)", 1)
         .cast("long").alias("doc_id"),
