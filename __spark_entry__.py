@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_split": warc.q_warc_ingest_split,
         "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
         "bloom_novel_urls": bloom.q_bloom_novel_urls,
+        "bloom_novel_retraction": bloom.q_bloom_novel_retraction,
         "warc_html_extract": warc.q_warc_html_extract,
         "lm_ccnet_buckets": lm.q_lm_ccnet_buckets,
         "sample_fixed_k": sampling.q_sample_fixed_k,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest_split": warc.oracle_warc_clean_sql(),
         "warc_ingest_quarantine": warc.oracle_warc_quarantine_sql(),
         "bloom_novel_urls": bloom.oracle_bloom_novel_sql(),
+        "bloom_novel_retraction": bloom.oracle_bloom_novel_retraction_sql(),
         "warc_html_extract": warc.oracle_warc_html_extract_sql(),
         "lm_ccnet_buckets": lm.oracle_lm_ccnet_buckets_sql(),
         "sample_fixed_k": sampling.oracle_sample_fixed_k_sql(),

@@ -57,14 +57,20 @@ def _lanes(key: Column) -> tuple[Column, Column]:
     return F.xxhash64(key), F.xxhash64(key, F.lit(BLOOM_SALT))
 
 
-def _positions(h: np.ndarray, g: np.ndarray, k: int,
-               n_bits: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Yield (word_index, bit_mask) per hash lane i — uint64 wraparound
+def _slots(h: np.ndarray, g: np.ndarray, k: int,
+           n_slots: int) -> Iterator[np.ndarray]:
+    """Yield the slot index array per hash lane i — uint64 wraparound
     then power-of-two mask is the Kirsch-Mitzenmacher scheme."""
-    mask = np.uint64(n_bits - 1)
+    mask = np.uint64(n_slots - 1)
     g = g | np.uint64(1)  # odd stride: never a degenerate cycle
     for i in range(k):
-        pos = (h + np.uint64(i) * g) & mask
+        yield (h + np.uint64(i) * g) & mask
+
+
+def _positions(h: np.ndarray, g: np.ndarray, k: int,
+               n_bits: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (word_index, bit_mask) per hash lane i."""
+    for pos in _slots(h, g, k, n_bits):
         yield (pos >> np.uint64(6)).astype(np.int64), \
             np.uint64(1) << (pos & np.uint64(63))
 
@@ -306,3 +312,245 @@ def bloom_from_state(state_dir: str) -> tuple[bytes, int, int]:
         meta = json.load(fh)
     with open(_state_file(state_dir), "rb") as fh:
         return fh.read(), meta["n_bits"], meta["k"]
+
+
+# ---------------------------------------------------------------------------
+# counting bloom: the retraction-capable novelty state
+# ---------------------------------------------------------------------------
+#
+# The OR-folded bit state cannot forget: a url removed from the
+# registry (takedown, robots retro-exclusion, licensing pull) stays
+# member-ish until an fpp-driven rebuild.  The counting variant keeps
+# one uint8 counter per slot (8x the bit array's memory — the classic
+# counting-bloom tradeoff) and supports subtractive folds:
+#
+#   insert key  -> +1 at its k slots      delete key -> -1 at them
+#   member(key) <=> all k counters > 0
+#
+# Exactness ladder (all test-pinned):
+#   * absent saturation, BINARIZE(counters) — slot>0 -> bit — equals
+#     ``bloom_build`` over the LIVE registry (adds minus removes)
+#     BIT FOR BIT: count[slot] = sum of live-key touches, so >0 iff
+#     some live key touches the slot.  The probe path therefore
+#     reuses ``bloom_probe``/``novel_keys`` on the binarized form —
+#     brokers ship the 1-bit array, not the 8x counters.
+#   * a counter that hits 255 goes STICKY (never decremented, never
+#     binarized to 0): saturation can only add false positives, never
+#     false negatives — same failure direction as the bloom itself.
+#   * a fold that would drive an unsaturated counter negative raises:
+#     with the delete-only-present-keys discipline that can only be a
+#     precondition violation, and it is detected, not absorbed.
+#
+# Discipline (documented contract, same as every counting bloom):
+# each slice's adds/removes are key-DISTINCT (``counting_build``
+# applies the distinct itself — one keys-only shuffle, the same class
+# as novel_keys' verify join), removes must target present keys, and
+# a key added in two slices must be removed twice to disappear —
+# i.e. the state mirrors a multiset registry delta stream.
+
+COUNTER_MAX = 255  # uint8 sticky-saturation ceiling
+
+
+def counting_build(df: DataFrame, key_col: str,
+                   n_slots: int = DEFAULT_N_BITS,
+                   k: int = DEFAULT_K) -> np.ndarray:
+    """Exact uint32 slot counts over the DISTINCT non-null keys of
+    ``df[key_col]`` — the same partial-aggregation shape as
+    ``bloom_build`` with sum-reduce instead of OR-reduce.  Returned
+    unsaturated so folds stay exact; saturate at state-write time."""
+    assert n_slots & (n_slots - 1) == 0, "n_slots must be a power of two"
+    h, g = _lanes(F.col(key_col))
+    hashed = (df.filter(F.col(key_col).isNotNull())
+              .select(F.col(key_col)).distinct()
+              .select(h.alias("h"), g.alias("g")))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = np.zeros(n_slots, dtype=np.uint32)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            hh = pdf["h"].to_numpy(np.int64).view(np.uint64)
+            gg = pdf["g"].to_numpy(np.int64).view(np.uint64)
+            for pos in _slots(hh, gg, k, n_slots):
+                np.add.at(counts, pos.astype(np.int64), 1)
+        if not any_rows:
+            return
+        chunks, blobs = [], []
+        for c in range(0, n_slots, CHUNK_WORDS):
+            piece = counts[c:c + CHUNK_WORDS]
+            if piece.any():
+                chunks.append(c // CHUNK_WORDS)
+                blobs.append(piece.tobytes())
+        yield pd.DataFrame({"chunk": chunks, "words": blobs})
+
+    def sum_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack(
+            [np.frombuffer(b, dtype=np.uint32) for b in pdf["words"]])
+        return pd.DataFrame({
+            "chunk": [int(pdf["chunk"].iloc[0])],
+            "words": [stacked.sum(axis=0, dtype=np.uint32).tobytes()],
+        })
+
+    merged = (
+        hashed.mapInPandas(partials, "chunk int, words binary")
+        .groupBy("chunk").applyInPandas(sum_reduce, "chunk int, words binary")
+        .collect()  # bounded by the configured filter size, not row count
+    )
+    counts = np.zeros(n_slots, dtype=np.uint32)
+    for row in merged:
+        c = row["chunk"] * CHUNK_WORDS
+        piece = np.frombuffer(row["words"], dtype=np.uint32)
+        counts[c:c + len(piece)] = piece
+    return counts
+
+
+def counting_to_bits(counters: np.ndarray) -> bytes:
+    """slot>0 -> set bit; the broadcastable 1-bit form ``bloom_probe``
+    / ``novel_keys`` consume (8x smaller than the counters)."""
+    n_slots = len(counters)
+    bits = np.zeros(n_slots // 64, dtype=np.uint64)
+    live = np.nonzero(counters)[0].astype(np.uint64)
+    np.bitwise_or.at(bits, (live >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (live & np.uint64(63)))
+    return bits.tobytes()
+
+
+def _counting_file(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "counting.bin")
+
+
+def counting_state_update(
+    spark: SparkSession,
+    add_df: DataFrame | None,
+    remove_df: DataFrame | None,
+    key_col: str,
+    state_dir: str,
+    prev_state_dir: str | None = None,
+    n_slots: int = DEFAULT_N_BITS,
+    k: int = DEFAULT_K,
+) -> np.ndarray:
+    """Fold one registry delta slice (adds, removes) into persisted
+    counting-bloom state; returns the folded uint8 counters.
+
+    Per day: one narrow scan of each delta frame + an O(state-size)
+    elementwise fold — history is never rescanned.  Sticky cells
+    (prev == 255) are carried unchanged; an unsaturated cell driven
+    negative raises (delete-of-absent-key detected).  _SUCCESS-guarded:
+    a replayed day returns the stored state untouched."""
+    import json
+    import os
+
+    done = os.path.join(state_dir, "_SUCCESS")
+    if os.path.exists(done):
+        with open(_counting_file(state_dir), "rb") as fh:
+            return np.frombuffer(fh.read(), dtype=np.uint8).copy()
+    os.makedirs(state_dir, exist_ok=True)
+    adds = (counting_build(add_df, key_col, n_slots=n_slots, k=k)
+            if add_df is not None else np.zeros(n_slots, dtype=np.uint32))
+    rems = (counting_build(remove_df, key_col, n_slots=n_slots, k=k)
+            if remove_df is not None else np.zeros(n_slots, dtype=np.uint32))
+    if prev_state_dir is not None:
+        meta_p = os.path.join(prev_state_dir, "counting.meta.json")
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if (meta["n_slots"], meta["k"], meta["version"]) != (
+            n_slots, k, BLOOM_STATE_VERSION
+        ):
+            raise ValueError(
+                f"counting state params changed ({meta} vs n_slots={n_slots}"
+                f" k={k} v{BLOOM_STATE_VERSION}): rebuild from the key "
+                "registry instead of folding"
+            )
+        with open(_counting_file(prev_state_dir), "rb") as fh:
+            prev = np.frombuffer(fh.read(), dtype=np.uint8)
+    else:
+        prev = np.zeros(n_slots, dtype=np.uint8)
+    sticky = prev == COUNTER_MAX
+    folded = prev.astype(np.int64) + adds.astype(np.int64) \
+        - rems.astype(np.int64)
+    neg = (folded < 0) & ~sticky
+    if neg.any():
+        raise ValueError(
+            f"counting bloom underflow at {int(neg.sum())} slots: a remove "
+            "targeted a key not present in the folded state (delta stream "
+            "violates the delete-only-present-keys discipline)"
+        )
+    folded = np.minimum(folded, COUNTER_MAX)
+    folded[sticky] = COUNTER_MAX  # sticky: saturation never decrements
+    out = folded.astype(np.uint8)
+    with open(_counting_file(state_dir), "wb") as fh:
+        fh.write(out.tobytes())
+    with open(os.path.join(state_dir, "counting.meta.json"), "w") as fh:
+        json.dump({"n_slots": n_slots, "k": k,
+                   "version": BLOOM_STATE_VERSION}, fh)
+    with open(done, "w") as fh:
+        fh.write("")
+    return out
+
+
+def counting_from_state(state_dir: str) -> tuple[np.ndarray, int, int]:
+    """(counters, n_slots, k) from a completed counting state dir."""
+    import json
+    import os
+
+    with open(os.path.join(state_dir, "counting.meta.json")) as fh:
+        meta = json.load(fh)
+    with open(_counting_file(state_dir), "rb") as fh:
+        return (np.frombuffer(fh.read(), dtype=np.uint8).copy(),
+                meta["n_slots"], meta["k"])
+
+
+# ---------------------------------------------------------------------------
+# query + oracle: novelty vs a registry WITH retractions
+# ---------------------------------------------------------------------------
+
+#: removed slice: doc_id % 10 == 0 — a subset of history (% 2 == 0),
+#: so removed urls must come back NOVEL when recrawled.
+REM_MOD, REM_RES = 10, 0
+
+
+def q_bloom_novel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty of a new crawl slice against history MINUS retractions,
+    prefiltered by the counting-bloom state's binarized form.  Urls in
+    the retracted slice (e.g. takedowns) are novel again — exactly
+    what the OR-folded bit state cannot express."""
+    import os
+    import tempfile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    adds = _with_url(d.filter(F.col("doc_id") % HIST_MOD == HIST_RES))
+    removes = _with_url(d.filter(F.col("doc_id") % REM_MOD == REM_RES))
+    new = _with_url(d.filter(F.col("doc_id") % NEW_MOD == NEW_RES))
+    live = adds.join(removes.select("url"), "url", "left_anti")
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    base = tempfile.mkdtemp(prefix="cbloom-", dir=os.path.join(repo, ".tmp"))
+    s1 = counting_state_update(       # day 1: the additions
+        spark, adds, None, "url", os.path.join(base, "day1"))
+    del s1
+    counters = counting_state_update(  # day 2: the retractions
+        spark, None, removes, "url", os.path.join(base, "day2"),
+        prev_state_dir=os.path.join(base, "day1"))
+    return novel_keys(new, live, "url", bloom=counting_to_bits(counters))
+
+
+def oracle_bloom_novel_retraction_sql() -> str:
+    # the counting bloom is internal; the contract is the exact
+    # anti-join against (adds MINUS removes)
+    return f"""
+WITH live AS (
+    SELECT {_URL} AS url FROM documents
+    WHERE doc_id % {HIST_MOD} = {HIST_RES}
+      AND doc_id % {REM_MOD} != {REM_RES}
+),
+new AS (
+    SELECT doc_id, {_URL} AS url FROM documents
+    WHERE doc_id % {NEW_MOD} = {NEW_RES}
+)
+SELECT n.doc_id, n.url FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM live h WHERE h.url = n.url)
+"""
