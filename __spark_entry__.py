@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_novel_retraction": bloom.q_bloom_novel_retraction,
         "warc_html_extract": warc.q_warc_html_extract,
         "lm_ccnet_buckets": lm.q_lm_ccnet_buckets,
+        "lm_perplexity_5gram": lm.q_lm_perplexity_5gram,
+        "lm_ccnet_buckets_5gram": lm.q_lm_ccnet_buckets_5gram,
         "sample_fixed_k": sampling.q_sample_fixed_k,
         "text_normalize_nfc": text.q_text_normalize_nfc,
         "split_leakage_safe": splits.q_split_leakage_safe,
@@ -205,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_novel_retraction": bloom.oracle_bloom_novel_retraction_sql(),
         "warc_html_extract": warc.oracle_warc_html_extract_sql(),
         "lm_ccnet_buckets": lm.oracle_lm_ccnet_buckets_sql(),
+        "lm_perplexity_5gram": lm.oracle_lm_perplexity_5gram_sql(),
+        "lm_ccnet_buckets_5gram": lm.oracle_lm_ccnet_buckets_5gram_sql(),
         "sample_fixed_k": sampling.oracle_sample_fixed_k_sql(),
         "text_normalize_nfc": text.oracle_text_normalize_nfc_sql(),
         "split_leakage_safe": splits.oracle_split_leakage_safe_sql(),

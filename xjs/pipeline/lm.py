@@ -238,6 +238,116 @@ def lm_filter_trigram(
 # has real work; the oracle embeds the artifact's table as VALUES.
 # --------------------------------------------------------------------------
 
+DEFAULT_LM5 = PKG_PREFIX + "fivegram_lm.pkl"
+
+#: gram column names per order, longest context first
+_GRAM_COLS = {5: ["p4", "p3", "p2", "p1", "tok"],
+              4: ["p3", "p2", "p1", "tok"],
+              3: ["p2", "p1", "tok"],
+              2: ["p1", "tok"]}
+
+
+def lm_score_5gram(
+    df: DataFrame,
+    artifact: str = DEFAULT_LM5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "native",
+) -> DataFrame:
+    """(id, n_transitions, lp_sum): integer micro-nat score under the
+    committed 5-gram artifact — CCNet's deployed model form — with
+    RECURSIVE stupid backoff over the pruned order tables:
+
+        lp = coalesce(lp5, lp4 + B, lp3 + 2B, lp2 + 3B, lp_oov)
+
+    Each missed order adds the integer backoff constant, so the
+    4-level chain stays exact integer arithmetic end to end
+    (scripts/train_5gram_lm.py).  Docs with < 5 tokens score (0, 0).
+
+    Scale shape: one narrow 5-tuple explode, then FOUR broadcast left
+    joins (all model-sized), and the same single doc-keyed partial-agg
+    sum as the lower-order scorers — at 10^12 docs the shuffle still
+    carries two longs per doc per partition.  'native' probes on
+    xxhash64 longs; 'portable' joins exact strings for the oracle."""
+    spark = df.sparkSession
+    model = load(artifact)
+    assert model.get("order") == 5, artifact
+    backoff = int(model["backoff"])
+    lp_oov = int(model["lp_oov"])
+
+    tabs = {}
+    for n, cols in _GRAM_COLS.items():
+        schema = ", ".join(f"{c} string" for c in cols) + f", lp{n} long"
+        tabs[n] = spark.createDataFrame(
+            [(*g[:-1], int(g[-1])) for g in model["tables"][n]], schema)
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(toks)
+    m = F.greatest(n_tok - 4, F.lit(0))
+    tuples = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(c)
+          for i, c in enumerate(_GRAM_COLS[5])])
+    trans = df.select(id_col, F.explode(tuples).alias("_t")).select(
+        id_col, *[F.col(f"_t.{c}").alias(c) for c in _GRAM_COLS[5]])
+
+    if hash_mode == "native":
+        trans = trans.select(
+            id_col,
+            *[F.xxhash64(*_GRAM_COLS[n]).alias(f"_k{n}")
+              for n in _GRAM_COLS])
+        keys = {}
+        for n, cols in _GRAM_COLS.items():
+            tabs[n] = tabs[n].select(
+                F.xxhash64(*cols).alias(f"_k{n}"), f"lp{n}")
+            keys[n] = [f"_k{n}"]
+    else:
+        keys = dict(_GRAM_COLS)
+
+    lp = F.coalesce(
+        F.col("lp5"),
+        F.col("lp4") + F.lit(backoff),
+        F.col("lp3") + F.lit(2 * backoff),
+        F.col("lp2") + F.lit(3 * backoff),
+        F.lit(lp_oov),
+    )
+    scored = trans
+    for n in (5, 4, 3, 2):
+        scored = scored.join(F.broadcast(tabs[n]), keys[n], "left")
+    scored = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(lp).alias("lp_sum"),
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
+        F.coalesce("lp_sum", F.lit(0)).alias("lp_sum"),
+    )
+
+
+def lm_filter_5gram(
+    df: DataFrame,
+    max_ppl: float = MAX_PPL,
+    artifact: str = DEFAULT_LM5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "native",
+) -> DataFrame:
+    """lm_filter under the 5-gram backoff scorer — same integer gate."""
+    import math
+
+    thr = round(-math.log(max_ppl) * 1_000_000)
+    s = lm_score_5gram(df, artifact, text_col, id_col, hash_mode)
+    return s.select(
+        id_col,
+        "n_transitions",
+        "lp_sum",
+        (
+            (F.col("n_transitions") == 0)
+            | (F.col("lp_sum") >= F.lit(thr) * F.col("n_transitions"))
+        ).alias("keep"),
+    )
+
+
 def lm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -312,6 +422,76 @@ scored AS (
            SUM(COALESCE(lm3.lp3, lm2.lp2 + {backoff}, {lp_oov})) AS lp_sum
     FROM trans tr
     LEFT JOIN lm3 ON lm3.p2 = tr.p2 AND lm3.p1 = tr.p1 AND lm3.tok = tr.tok
+    LEFT JOIN lm2 ON lm2.p1 = tr.p1 AND lm2.tok = tr.tok
+    GROUP BY tr.doc_id
+)
+SELECT c.doc_id,
+       COALESCE(s.n_transitions, 0) AS n_transitions,
+       COALESCE(s.lp_sum, 0)::BIGINT AS lp_sum,
+       (COALESCE(s.n_transitions, 0) = 0
+        OR COALESCE(s.lp_sum, 0) >= {thr}::BIGINT * s.n_transitions) AS keep
+FROM corpus c LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_lm_perplexity_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_filter_5gram(lm_corpus(spark, sf_dir), hash_mode="portable")
+
+
+def oracle_lm_perplexity_5gram_sql(artifact: str = DEFAULT_LM5) -> str:
+    """The 4-level backoff chain restated in SQL with the artifact's
+    tables embedded as VALUES — built driver-side FROM the same
+    artifact, so the comparison pins the whole scorer bit-exactly."""
+    import math
+
+    model = load(artifact)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def vals(n: int) -> str:
+        return ", ".join(
+            "(" + ", ".join([f"'{esc(x)}'" for x in g[:-1]]
+                            + [str(int(g[-1]))]) + ")"
+            for g in model["tables"][n]
+        )
+
+    lp_oov = int(model["lp_oov"])
+    b = int(model["backoff"])
+    thr = round(-math.log(MAX_PPL) * 1_000_000)
+    return f"""
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+                THEN array_to_string(list_transform(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t || t), ' ')
+                ELSE text END AS text
+    FROM documents
+),
+lm5(p4, p3, p2, p1, tok, lp5) AS (VALUES {vals(5)}),
+lm4(p3, p2, p1, tok, lp4) AS (VALUES {vals(4)}),
+lm3(p2, p1, tok, lp3) AS (VALUES {vals(3)}),
+lm2(p1, tok, lp2) AS (VALUES {vals(2)}),
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
+),
+trans AS (
+    SELECT doc_id, t[i - 4] AS p4, t[i - 3] AS p3, t[i - 2] AS p2,
+           t[i - 1] AS p1, t[i] AS tok
+    FROM toks, unnest(range(5, len(t) + 1)) AS r(i)
+),
+scored AS (
+    SELECT tr.doc_id, COUNT(*) AS n_transitions,
+           SUM(COALESCE(lm5.lp5, lm4.lp4 + {b}, lm3.lp3 + {2 * b},
+                        lm2.lp2 + {3 * b}, {lp_oov})) AS lp_sum
+    FROM trans tr
+    LEFT JOIN lm5 ON lm5.p4 = tr.p4 AND lm5.p3 = tr.p3
+        AND lm5.p2 = tr.p2 AND lm5.p1 = tr.p1 AND lm5.tok = tr.tok
+    LEFT JOIN lm4 ON lm4.p3 = tr.p3 AND lm4.p2 = tr.p2
+        AND lm4.p1 = tr.p1 AND lm4.tok = tr.tok
+    LEFT JOIN lm3 ON lm3.p2 = tr.p2 AND lm3.p1 = tr.p1
+        AND lm3.tok = tr.tok
     LEFT JOIN lm2 ON lm2.p1 = tr.p1 AND lm2.tok = tr.tok
     GROUP BY tr.doc_id
 )
@@ -411,10 +591,16 @@ def ccnet_buckets(
     lang_col: str = "lang",
     sample_mod: int = SAMPLE_MOD,
     hash_mode: str = "native",
+    scorer=None,
 ) -> DataFrame:
     """(id, lang, score_key, bucket): CCNet's head/middle/tail split —
     per-language perplexity terciles, better (higher mean log-prob)
     documents land in 'head'.
+
+    ``scorer`` swaps the LM (default ``lm_score``; pass
+    ``lm_score_5gram`` with the 5-gram artifact for CCNet's deployed
+    model form) — the bucket machinery is model-agnostic over any
+    (id, n_transitions, lp_sum) integer scorer.
 
     All-integer arithmetic end to end: score_key = floor(lp_sum /
     n_transitions) in micro-nats per transition (total order with the
@@ -432,9 +618,11 @@ def ccnet_buckets(
     concentrate on one task.  Zero-transition docs are unjudgeable
     and keep bucket 'head' (the permissive default), as do languages
     absent from the sample."""
+    score_fn = scorer or lm_score
+
     def keyed(d: DataFrame) -> DataFrame:
         # score_key NULL for zero-transition (unjudgeable) docs
-        s = lm_score(d, artifact, text_col, id_col, hash_mode)
+        s = score_fn(d, artifact, text_col, id_col, hash_mode)
         return d.select(id_col, lang_col).join(s, id_col).select(
             id_col, lang_col,
             F.when(
@@ -483,6 +671,102 @@ def q_lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang")
     corpus = lm_corpus(spark, sf_dir).join(d, "doc_id")
     return ccnet_buckets(corpus, hash_mode="portable")
+
+
+def q_lm_ccnet_buckets_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    corpus = lm_corpus(spark, sf_dir).join(d, "doc_id")
+    return ccnet_buckets(corpus, artifact=DEFAULT_LM5,
+                         hash_mode="portable", scorer=lm_score_5gram)
+
+
+def oracle_lm_ccnet_buckets_5gram_sql(artifact: str = DEFAULT_LM5) -> str:
+    """The ccnet-bucket oracle with the 5-gram backoff scorer's
+    tables/chain swapped into the scored CTE — same integer tercile
+    arithmetic downstream."""
+    model = load(artifact)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def vals(n: int) -> str:
+        return ", ".join(
+            "(" + ", ".join([f"'{esc(x)}'" for x in g[:-1]]
+                            + [str(int(g[-1]))]) + ")"
+            for g in model["tables"][n]
+        )
+
+    lp_oov = int(model["lp_oov"])
+    b = int(model["backoff"])
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 9 = 0
+                THEN array_to_string(list_transform(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t || t), ' ')
+                ELSE text END AS text
+    FROM documents
+),
+lm5(p4, p3, p2, p1, tok, lp5) AS (VALUES {vals(5)}),
+lm4(p3, p2, p1, tok, lp4) AS (VALUES {vals(4)}),
+lm3(p2, p1, tok, lp3) AS (VALUES {vals(3)}),
+lm2(p1, tok, lp2) AS (VALUES {vals(2)}),
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
+),
+trans AS (
+    SELECT doc_id, t[i - 4] AS p4, t[i - 3] AS p3, t[i - 2] AS p2,
+           t[i - 1] AS p1, t[i] AS tok
+    FROM toks, unnest(range(5, len(t) + 1)) AS r(i)
+),
+scored AS (
+    SELECT tr.doc_id, COUNT(*) AS n,
+           SUM(COALESCE(lm5.lp5, lm4.lp4 + {b}, lm3.lp3 + {2 * b},
+                        lm2.lp2 + {3 * b}, {lp_oov}))::BIGINT AS lp_sum
+    FROM trans tr
+    LEFT JOIN lm5 ON lm5.p4 = tr.p4 AND lm5.p3 = tr.p3
+        AND lm5.p2 = tr.p2 AND lm5.p1 = tr.p1 AND lm5.tok = tr.tok
+    LEFT JOIN lm4 ON lm4.p3 = tr.p3 AND lm4.p2 = tr.p2
+        AND lm4.p1 = tr.p1 AND lm4.tok = tr.tok
+    LEFT JOIN lm3 ON lm3.p2 = tr.p2 AND lm3.p1 = tr.p1
+        AND lm3.tok = tr.tok
+    LEFT JOIN lm2 ON lm2.p1 = tr.p1 AND lm2.tok = tr.tok
+    GROUP BY tr.doc_id
+),
+judged AS (
+    SELECT c.doc_id, c.lang,
+           ((lp_sum - ((lp_sum % n) + n) % n) / n)::BIGINT AS score_key
+    FROM corpus c JOIN scored s USING (doc_id)
+),
+ranked AS (
+    SELECT lang, score_key,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY score_key DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS m
+    FROM judged
+    WHERE {_sample_mask_sql("doc_id", SAMPLE_MOD)}
+),
+thresholds AS (
+    SELECT lang,
+           MAX(CASE WHEN rn = ((m + 2) - ((m + 2) % 3)) / 3
+                    THEN score_key END) AS t1,
+           MAX(CASE WHEN rn = ((2 * m + 2) - ((2 * m + 2) % 3)) / 3
+                    THEN score_key END) AS t2
+    FROM ranked GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.score_key,
+       CASE WHEN t.t1 IS NULL THEN 'head'
+            WHEN j.score_key >= t.t1 THEN 'head'
+            WHEN j.score_key >= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM judged j LEFT JOIN thresholds t USING (lang)
+UNION ALL
+SELECT c.doc_id, c.lang, NULL::BIGINT AS score_key, 'head' AS bucket
+FROM corpus c LEFT JOIN scored s USING (doc_id)
+WHERE s.doc_id IS NULL
+"""
 
 
 def oracle_lm_ccnet_buckets_sql(artifact: str = DEFAULT_LM) -> str:
