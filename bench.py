@@ -455,6 +455,14 @@ def build_queries(spark, sf_dir: str, factor: int):
 
         return force(lm_filter(wp().select("doc_id", "text")))
 
+    def q_lm_perplexity_5gram():
+        # CCNet's deployed model form: 5-tuple explode + FOUR broadcast
+        # probes (recursive stupid backoff) — ~2.5x the transition
+        # width of the bigram row at the same doc count
+        from xjs.pipeline.lm import lm_filter_5gram
+
+        return force(lm_filter_5gram(wp().select("doc_id", "text")))
+
     # JSONL ingest fixture at bench scale: 1M JSON lines derived from
     # the materialized page table (cached like every other artifact) —
     # the row prices the schema-enforced JSON scan + clean/quarantine
@@ -491,6 +499,28 @@ def build_queries(spark, sf_dir: str, factor: int):
             n_shards=64,
         )
         clean, _ = split_clean_quarantine(read_warc_wet(spark, warc_path))
+        return force(clean)
+
+    # oversized-shard layout: the SAME 1M pages in 2 big gzip shards
+    # (~168 MB each; cached — shared with scripts/ab_warc_split.py).
+    # File-grain reading collapses to 2 tasks here (~10.4s, see
+    # BENCH/ab_warc_split_r5.json); the row prices the byte-range
+    # splitter that keeps 8 MB tasks
+    warcbig_path = wp_path + "-warcbig2-v1"
+
+    def q_warc_ingest_split():
+        from xjs.sources.warc import (
+            read_warc_wet_split, split_clean_quarantine, write_warc_fixture,
+        )
+
+        write_warc_fixture(
+            spark, sf_dir, warcbig_path, compress=True,
+            df=spark.read.parquet(wp_path).select(
+                "doc_id", "source", "text", "lang"),
+            n_shards=2,
+        )
+        clean, _ = split_clean_quarantine(
+            read_warc_wet_split(spark, warcbig_path, 8 << 20))
         return force(clean)
 
     # raw-crawl-to-text at bench scale: the same 1M pages as WARC
@@ -579,8 +609,10 @@ def build_queries(spark, sf_dir: str, factor: int):
         "mixture_sample": q_mixture,
         "html_extract": q_html_extract,
         "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_5gram": q_lm_perplexity_5gram,
         "jsonl_ingest": q_jsonl_ingest,
         "warc_ingest": q_warc_ingest,
+        "warc_ingest_split": q_warc_ingest_split,
         "warc_html_extract": q_warc_html_extract,
         "bloom_novel": q_bloom_novel,
         "dynamic_json_udf": q_dynamic_udf,
