@@ -47,6 +47,7 @@ from xjs.pipeline import (  # noqa: E402
     multimodal,
     packing,
     pii,
+    robots,
     sampling,
     select,
     sessions,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
         "bloom_novel_urls": bloom.q_bloom_novel_urls,
         "bloom_novel_retraction": bloom.q_bloom_novel_retraction,
+        "robots_filter": robots.q_robots_filter,
         "warc_html_extract": warc.q_warc_html_extract,
         "lm_ccnet_buckets": lm.q_lm_ccnet_buckets,
         "lm_perplexity_5gram": lm.q_lm_perplexity_5gram,
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest_quarantine": warc.oracle_warc_quarantine_sql(),
         "bloom_novel_urls": bloom.oracle_bloom_novel_sql(),
         "bloom_novel_retraction": bloom.oracle_bloom_novel_retraction_sql(),
+        "robots_filter": robots.oracle_robots_filter_sql(),
         "warc_html_extract": warc.oracle_warc_html_extract_sql(),
         "lm_ccnet_buckets": lm.oracle_lm_ccnet_buckets_sql(),
         "lm_perplexity_5gram": lm.oracle_lm_perplexity_5gram_sql(),
