@@ -40,6 +40,7 @@ from xjs.pipeline import (  # noqa: E402
     export,
     html,
     lines,
+    links,
     lm,
     mixture,
     heavy,
@@ -82,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_novel_urls": bloom.q_bloom_novel_urls,
         "bloom_novel_retraction": bloom.q_bloom_novel_retraction,
         "robots_filter": robots.q_robots_filter,
+        "html_links": links.q_html_links,
+        "link_graph_degrees": links.q_link_graph_degrees,
         "warc_html_extract": warc.q_warc_html_extract,
         "lm_ccnet_buckets": lm.q_lm_ccnet_buckets,
         "lm_perplexity_5gram": lm.q_lm_perplexity_5gram,
@@ -208,6 +211,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_novel_urls": bloom.oracle_bloom_novel_sql(),
         "bloom_novel_retraction": bloom.oracle_bloom_novel_retraction_sql(),
         "robots_filter": robots.oracle_robots_filter_sql(),
+        "html_links": links.oracle_html_links_sql(),
+        "link_graph_degrees": links.oracle_link_graph_degrees_sql(),
         "warc_html_extract": warc.oracle_warc_html_extract_sql(),
         "lm_ccnet_buckets": lm.oracle_lm_ccnet_buckets_sql(),
         "lm_perplexity_5gram": lm.oracle_lm_perplexity_5gram_sql(),

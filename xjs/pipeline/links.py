@@ -1,0 +1,161 @@
+"""Hyperlink extraction + link-graph statistics — the web-graph side
+of a crawl pipeline: outlinks feed frontier scheduling, in-degree is a
+classic page-quality prior, and cross-domain degree skew is exactly
+the hot-key profile the engine's skew machinery exists for.
+
+Extraction contract (exact, so the oracle can restate it): href
+attribute values in single or double quotes, attribute name
+case-insensitive; KEEP absolute http(s) urls verbatim and
+root-relative paths ("/...") resolved against the page url's
+scheme+host; DROP everything else (fragments, mailto:, javascript:,
+protocol-relative, empty).  One output row per kept occurrence.
+
+Scale shape: extraction is one scan-fused regexp_extract_all +
+array transform/filter + explode — narrow, zero shuffle, output
+proportional to link count.  Degree aggregation is one partial-agg
+groupBy on target domain; hub domains are HOT by nature (the fixture
+builds that skew in deliberately), and count/count_distinct partials
+absorb it map-side.
+
+Fixture + constructive oracle: ``linked_page_corpus`` embeds three
+kept links per page as pure formulas of (doc_id, source) — a
+root-relative self-domain link, an absolute same-domain link, and a
+cross-domain link to one of three HUB domains (doc_id % 3: the skew)
+— plus junk (fragment/mailto/javascript) that must be dropped, under
+both quoting styles and attr cases.  The DuckDB oracles restate the
+FORMULAS, never the parse, so green rows prove the extractor inverts
+the page builder.
+
+The reference engine (/root/reference, a schema validator) has no
+corpus operators; this op belongs to the training-data-pipeline
+mandate (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HREF_RE = r"""(?i)href\s*=\s*["']([^"']*)["']"""
+
+
+def extract_links_col(url: Column, html: Column) -> Column:
+    """Array of kept link urls (absolute http(s) verbatim;
+    root-relative resolved against the page's scheme+host)."""
+    raw = F.regexp_extract_all(html, F.lit(HREF_RE), 1)
+    origin = F.regexp_extract(url, r"^(https?://[^/]+)", 1)
+    resolved = F.transform(
+        raw,
+        lambda h: F.when(h.rlike("^https?://"), h)
+        .when(h.startswith("/") & ~h.startswith("//"),
+              F.concat(origin, h))
+        .otherwise(F.lit(None)),
+    )
+    return F.filter(resolved, lambda x: x.isNotNull())
+
+
+def html_extract_links(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, url, link) — one row per kept href occurrence."""
+    return df.filter(F.col(html_col).isNotNull()).select(
+        id_col, url_col,
+        F.explode(extract_links_col(F.col(url_col), F.col(html_col)))
+        .alias("link"),
+    )
+
+
+def link_graph_degrees(links: DataFrame) -> DataFrame:
+    """(target_domain, in_links, n_src_domains) — in-degree stats at
+    target-domain grain; one partial-agg shuffle."""
+    src_domain = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    dst_domain = F.regexp_extract("link", r"^https?://([^/]+)", 1)
+    return (links
+            .select(src_domain.alias("src_domain"),
+                    dst_domain.alias("target_domain"))
+            .groupBy("target_domain")
+            .agg(F.count(F.lit(1)).alias("in_links"),
+                 F.count_distinct("src_domain").alias("n_src_domains")))
+
+
+# ---------------------------------------------------------------------------
+# fixture + queries + constructive oracles
+# ---------------------------------------------------------------------------
+
+
+def linked_page_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, html): pages whose links are pure formulas of
+    (doc_id, source) under both quoting styles + junk to drop."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_id, src = F.col("doc_id"), F.col("source")
+    url = F.concat(F.lit("https://"), src, F.lit(".example.com/doc/"),
+                   doc_id.cast("string"))
+    page = F.concat(
+        F.lit("<html><body><a href=\"/doc/"),
+        (doc_id + 7).cast("string"),
+        F.lit("\">next</a> <A HREF='https://"), src,
+        F.lit(".example.com/doc/"), (doc_id * 2).cast("string"),
+        F.lit("'>twice</A> <a class=\"x\" href=\"https://hub"),
+        F.pmod(doc_id, F.lit(3)).cast("string"),
+        F.lit(".example.com/t/"), F.pmod(doc_id, F.lit(50)).cast("string"),
+        F.lit("\">hub</a> <a href=\"#frag\">f</a>"
+              " <a href='mailto:x@y.z'>m</a>"
+              " <a href=\"javascript:void(0)\">j</a></body></html>"),
+    )
+    html = F.when(doc_id % 211 == 0, F.lit(None).cast("string")) \
+        .otherwise(page)
+    return d.select(doc_id, url.alias("url"), html.alias("html"))
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return html_extract_links(linked_page_corpus(spark, sf_dir))
+
+
+def q_link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_graph_degrees(q_html_links(spark, sf_dir))
+
+
+#: the three kept links restated as SQL formulas (the oracle never
+#: parses html)
+_LINKS_CTE = """
+pages AS (
+    SELECT doc_id, source,
+           'https://' || source || '.example.com/doc/' || doc_id AS url
+    FROM documents
+    WHERE doc_id % 211 != 0
+),
+links AS (
+    SELECT doc_id, url,
+           'https://' || source || '.example.com/doc/' || (doc_id + 7)
+               AS link
+    FROM pages
+    UNION ALL
+    SELECT doc_id, url,
+           'https://' || source || '.example.com/doc/' || (doc_id * 2)
+    FROM pages
+    UNION ALL
+    SELECT doc_id, url,
+           'https://hub' || (doc_id % 3) || '.example.com/t/'
+               || (doc_id % 50)
+    FROM pages
+)
+"""
+
+
+def oracle_html_links_sql() -> str:
+    return f"WITH {_LINKS_CTE.strip()} SELECT doc_id, url, link FROM links"
+
+
+def oracle_link_graph_degrees_sql() -> str:
+    return f"""
+WITH {_LINKS_CTE.strip()}
+SELECT regexp_extract(link, '^https?://([^/]+)', 1) AS target_domain,
+       COUNT(*) AS in_links,
+       COUNT(DISTINCT regexp_extract(url, '^https?://([^/]+)', 1))
+           AS n_src_domains
+FROM links
+GROUP BY 1
+"""
