@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": robots.q_robots_filter,
         "html_links": links.q_html_links,
         "link_graph_degrees": links.q_link_graph_degrees,
+        "link_pagerank": links.q_link_pagerank,
         "warc_html_extract": warc.q_warc_html_extract,
         "lm_ccnet_buckets": lm.q_lm_ccnet_buckets,
         "lm_perplexity_5gram": lm.q_lm_perplexity_5gram,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": robots.oracle_robots_filter_sql(),
         "html_links": links.oracle_html_links_sql(),
         "link_graph_degrees": links.oracle_link_graph_degrees_sql(),
+        "link_pagerank": links.oracle_link_pagerank_sql(),
         "warc_html_extract": warc.oracle_warc_html_extract_sql(),
         "lm_ccnet_buckets": lm.oracle_lm_ccnet_buckets_sql(),
         "lm_perplexity_5gram": lm.oracle_lm_perplexity_5gram_sql(),

@@ -87,3 +87,59 @@ def test_hub_domains_carry_the_skew(spark, sf_dir):
                          "hub2.example.com"}
     others = [n for d, n in deg.items() if not d.startswith("hub")]
     assert min(hubs.values()) > max(others)
+
+
+# ---------------------------------------------------------------------------
+# integer PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pr_reference(edges, iterations=3, scale=1_000_000, damping=85):
+    """Pure-python restatement of the integer contract."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    outd = {}
+    for s, _ in e:
+        outd[s] = outd.get(s, 0) + 1
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    base = scale * (100 - damping) // 100
+    score = {n: scale for n in nodes}
+    for _ in range(iterations):
+        recv = {n: 0 for n in nodes}
+        for s, d in e:
+            recv[d] += score[s] // outd[s]
+        score = {n: base + (damping * recv[n]) // 100 for n in nodes}
+    return score
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    from xjs.pipeline.links import pagerank_int
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("d", "c"),              # d is a source-only node
+             ("c", "c"),              # self loop: removed
+             ("a", "b")]              # duplicate: removed
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.score for r in pagerank_int(df, 3).collect()}
+    assert got == _pr_reference(edges, 3)
+    # the sink-less cycle member with two in-edges ranks highest
+    assert max(got, key=got.get) == "c"
+
+
+def test_pagerank_query_matches_unrolled_oracle(spark, sf_dir):
+    from xjs.pipeline.links import oracle_link_pagerank_sql, q_link_pagerank
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    got = sorted(map(tuple, q_link_pagerank(spark, sf_dir).collect()))
+    want = sorted(map(tuple,
+                      con.sql(oracle_link_pagerank_sql()).fetchall()))
+    assert got == want
+    # hubs absorb one cross-domain link per live page across 150 hub
+    # urls (~3.4 in-links each) vs <=2 for page urls: the hub MEAN
+    # must beat the page mean (per-node dominance is not implied at
+    # url grain and is deliberately not asserted)
+    scores = dict(got)
+    hub = [v for k, v in scores.items() if "//hub" in k]
+    page = [v for k, v in scores.items() if "//hub" not in k]
+    assert sum(hub) / len(hub) > sum(page) / len(page)

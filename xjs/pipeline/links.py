@@ -81,6 +81,58 @@ def link_graph_degrees(links: DataFrame) -> DataFrame:
                  F.count_distinct("src_domain").alias("n_src_domains")))
 
 
+PR_SCALE = 1_000_000
+PR_DAMPING_PCT = 85
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """(node, score): fixed-iteration PageRank in INTEGER arithmetic —
+    the repo's exactness pattern applied to the one iterative
+    algorithm of the family, so the unrolled SQL oracle bit-matches
+    instead of chasing float drift.
+
+    Defined contract (documented variant, restated by the oracle):
+    scores start at ``scale``; each iteration every node sends
+    floor(score / out_degree) along each outlink and receives
+    new = floor(scale*(100-damping_pct)/100)
+        + floor(damping_pct * received / 100);
+    dangling mass is dropped (not redistributed).  Self-loops and
+    duplicate edges are removed up front.
+
+    Scale shape: per iteration ONE join of the (node, score) table to
+    the edge list on src + one partial-agg groupBy on dst — hub
+    in-degree skew is absorbed map-side like any count.  The edge
+    list is reused across iterations (cache it); iteration count is
+    fixed and small, the lineage is cut nowhere because 3 joins deep
+    is shallower than the dedup clusters' pointer-jumping loop."""
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct())
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    base = scale * (100 - damping_pct) // 100
+    scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
+    for _ in range(iterations):
+        contrib = (e.join(scores.withColumnRenamed("node", "src"), "src")
+                   .join(out_deg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("score div outd").alias("c")))
+        recv = contrib.groupBy("node").agg(F.sum("c").alias("r"))
+        scores = nodes.join(recv, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long")
+             + F.expr(f"({damping_pct} * coalesce(r, 0L)) div 100"))
+            .alias("score"),
+        )
+    return scores
+
+
 # ---------------------------------------------------------------------------
 # fixture + queries + constructive oracles
 # ---------------------------------------------------------------------------
@@ -147,6 +199,48 @@ links AS (
 
 def oracle_html_links_sql() -> str:
     return f"WITH {_LINKS_CTE.strip()} SELECT doc_id, url, link FROM links"
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 integer iterations) over the PAGE-grain link graph
+    of the fixture corpus — the +7 chains, the doubling links, and
+    the hub sinks give it real structure; hubs accumulate the mass."""
+    links = q_html_links(spark, sf_dir)
+    edges = links.select(F.col("url").alias("src"),
+                         F.col("link").alias("dst"))
+    return pagerank_int(edges, iterations=3)
+
+
+def oracle_link_pagerank_sql(iterations: int = 3,
+                             scale: int = PR_SCALE,
+                             damping_pct: int = PR_DAMPING_PCT) -> str:
+    """The SAME integer contract unrolled as SQL CTEs — one CTE per
+    iteration, generated by the same loop count, so the iterative
+    algorithm keeps a bit-exact oracle instead of the weaker
+    rows-only check."""
+    base = scale * (100 - damping_pct) // 100
+    parts = [f"""
+WITH {_LINKS_CTE.strip()},
+edges AS (
+    SELECT DISTINCT url AS src, link AS dst FROM links WHERE url != link
+),
+outd AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+it0 AS (SELECT node, {scale}::BIGINT AS score FROM nodes)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+it{k} AS (
+    SELECT n.node,
+           ({base}::BIGINT
+            + (({damping_pct} * COALESCE(s.r, 0)) // 100))::BIGINT AS score
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.score // o.outd)::BIGINT AS r
+        FROM edges e
+        JOIN it{k - 1} p ON p.node = e.src
+        JOIN outd o ON o.src = e.src
+        GROUP BY e.dst) s ON s.node = n.node)""")
+    parts.append(f"\nSELECT node, score FROM it{iterations}")
+    return "".join(parts)
 
 
 def oracle_link_graph_degrees_sql() -> str:
