@@ -65,6 +65,18 @@ def main() -> None:
     ap.add_argument("--bloom-state-out", default=None,
                     help="fold this slice's clean urls into bloom state "
                          "for the NEXT day's --bloom-state-in")
+    ap.add_argument("--retract-urls", default=None,
+                    help="parquet of urls withdrawn from the registry "
+                         "this day (takedowns): they come back NOVEL if "
+                         "recrawled, leave --history-out, and fold out "
+                         "of the counting state")
+    ap.add_argument("--counting-state-in", default=None,
+                    help="prior day's counting-bloom state: probe its "
+                         "binarized form (supports retraction, unlike "
+                         "the OR-folded bit state)")
+    ap.add_argument("--counting-state-out", default=None,
+                    help="fold this slice's novel urls (+ retractions) "
+                         "into counting state for the NEXT day")
     ap.add_argument("--tolerate-frame-errors", action="store_true")
     args = ap.parse_args()
 
@@ -110,11 +122,29 @@ def main() -> None:
         .groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
+    # retractions apply to the OLD registry first; today's crawl then
+    # re-adds anything it actually recrawled
+    retract = None
+    n_retracted = n_retract_unknown = None
+    if args.retract_urls:
+        retract = spark.read.parquet(
+            args.retract_urls).select("url").distinct().persist()
+
     n_novel = None
     if args.history_urls:
         hist = spark.read.parquet(args.history_urls).select("url")
+        if retract is not None:
+            known = hist.join(retract, "url", "left_semi")
+            n_retracted = known.count()  # retraction discipline audit:
+            n_retract_unknown = retract.count() - n_retracted
+            hist = hist.join(retract, "url", "left_anti")
         n_bits, k, blob = args.bloom_bits, args.bloom_k, None
-        if args.bloom_state_in:
+        if args.counting_state_in:
+            from xjs.pipeline.bloom import counting_from_state, counting_to_bits
+
+            counters, n_bits, k = counting_from_state(args.counting_state_in)
+            blob = counting_to_bits(counters)
+        elif args.bloom_state_in:
             blob, n_bits, k = bloom_from_state(args.bloom_state_in)
         novel = novel_keys(clean_stored, hist, "url",
                            n_bits=n_bits, k=k, bloom=blob)
@@ -127,15 +157,42 @@ def main() -> None:
             args.bloom_state_out, args.bloom_state_in,
             n_bits=args.bloom_bits, k=args.bloom_k)
 
+    if args.counting_state_out:
+        from xjs.pipeline.bloom import counting_state_update
+
+        # adds = the NOVEL slice only (urls not already counted), so
+        # the set-registry discipline holds: every live url is counted
+        # exactly once and a retraction fully clears it.  removes =
+        # retractions verified present in the old registry (unknown
+        # retractions are reported, never folded — the underflow guard
+        # stays meaningful)
+        if args.history_urls:
+            adds = spark.read.parquet(
+                os.path.join(args.out, "novel")).select("url")
+        else:
+            adds = clean_stored.select("url")  # bootstrap day
+        removes = None
+        if retract is not None and args.history_urls:
+            removes = spark.read.parquet(args.history_urls) \
+                .select("url").join(retract, "url", "left_semi")
+        counting_state_update(
+            spark, adds, removes, "url",
+            args.counting_state_out, args.counting_state_in,
+            n_slots=args.bloom_bits, k=args.bloom_k)
+
     n_history = None
     if args.history_out:
         # registry = everything ever seen; the novel slice suffices on
         # top of old history (clean ∖ novel ⊆ history by definition),
         # but the distinct union is stated directly for auditability
-        urls = clean_stored.select("url")
+        old = None
         if args.history_urls:
-            urls = urls.unionByName(
-                spark.read.parquet(args.history_urls).select("url"))
+            old = spark.read.parquet(args.history_urls).select("url")
+            if retract is not None:
+                old = old.join(retract, "url", "left_anti")
+        urls = clean_stored.select("url")
+        if old is not None:
+            urls = urls.unionByName(old)
         urls.distinct().write.mode("overwrite").parquet(args.history_out)
         n_history = spark.read.parquet(args.history_out).count()
 
@@ -154,6 +211,11 @@ def main() -> None:
            if args.history_out else {}),
         **({"bloom_state_out": args.bloom_state_out}
            if args.bloom_state_out else {}),
+        **({"n_retracted": n_retracted,
+            "n_retract_unknown": n_retract_unknown}
+           if args.retract_urls else {}),
+        **({"counting_state_out": args.counting_state_out}
+           if args.counting_state_out else {}),
         "wall_sec": round(time.perf_counter() - t0, 2),
     }
     line = json.dumps(manifest)

@@ -50,7 +50,8 @@ spark = (
     .getOrCreate()
 )
 mode = {mode!r}
-if mode in ("scan", "pipeline", "dedup", "export", "incr", "ingest"):
+if mode in ("scan", "pipeline", "dedup", "export", "incr", "ingest",
+            "ingest_split"):
     sys.path.insert(0, {repo!r} + "")
     from bench import materialize
     wp_path = materialize(spark, {sf_dir!r}, {factor})
@@ -142,6 +143,29 @@ elif mode == "ingest":
     def measured():
         clean, _ = split_clean_quarantine(read_warc_wet(spark, warc_path))
         return force(clean).count()
+elif mode == "ingest_split":
+    # the OVERSIZED-shard counterfactual: the same parse when the
+    # corpus arrives as only 4 big shards.  File-grain tasks would cap
+    # parallelism at 4 regardless of cluster size; the byte-range
+    # splitter (verified gzip-member sync, exactly-once by range
+    # ownership) restores ~8 MB tasks, so the 4x executor step keeps
+    # scaling — the north_rule's bounded-task-size claim, measured
+    from bench import force
+    from xjs.sources.warc import (
+        read_warc_wet_split, split_clean_quarantine, write_warc_fixture,
+    )
+
+    warcbig = wp_path + "-warcbig4-v1"
+    write_warc_fixture(
+        spark, {sf_dir!r}, warcbig, compress=True,
+        df=wp.select("doc_id", "source", "text", "lang"), n_shards=4,
+    )
+    n_d = wp.count()  # warm-up
+
+    def measured():
+        clean, _ = split_clean_quarantine(
+            read_warc_wet_split(spark, warcbig, 8 << 20))
+        return force(clean).count()
 elif mode == "pipeline":
     # pipeline-op shape: boilerplate detection — the Arrow gram cutter
     # (compute-bound mapInPandas, needs executorEnv.PYTHONPATH on the
@@ -211,6 +235,8 @@ def one_experiment(sf_dir: str, factor: int, mode: str) -> dict:
         "export": "exact fixed-size shard assignment (two-level global rank)",
         "incr": "char-grain state fold (anchored rolling keys + min-merge vs stored state)",
         "ingest": "WARC/WET gzip-member shard parse + clean/quarantine split",
+        "ingest_split": "WARC parse of 4 OVERSIZED shards via byte-range "
+                        "splitter (file grain would cap at 4 tasks)",
     }.get(mode, f"flagship violations pass ({mode})")
     out = {
         "job": job,
@@ -245,7 +271,7 @@ def main() -> None:
     target = 0.8
 
     shapes = ("derive", "scan", "pipeline", "dedup", "export", "incr",
-              "ingest")
+              "ingest", "ingest_split")
     factors = {
         "derive": int(os.environ.get("XJS_SCALE_FACTOR_DERIVE", "1000")),
         "scan": int(os.environ.get("XJS_SCALE_FACTOR_SCAN", "4000")),
@@ -260,6 +286,11 @@ def main() -> None:
         # materialized f800 page table); sizes the 4-core parse well
         # clear of the scheduling floor
         "ingest": int(os.environ.get("XJS_SCALE_FACTOR_INGEST", "800")),
+        # 2M docs as 4 big gzip shards (~170 MB each, the A/B sizing):
+        # file grain would cap at 4 tasks; the splitter keeps 8 MB
+        # ranges, so the 4->16 core step has work to spread
+        "ingest_split": int(
+            os.environ.get("XJS_SCALE_FACTOR_INGEST_SPLIT", "400")),
     }
     # XJS_SCALE_SHAPES=dedup re-measures one noisy shape; the rest come
     # from BENCH/scaling_best.json (a shape not measured AND not stored
@@ -290,7 +321,7 @@ def main() -> None:
         return out
 
     gate_shapes = ("derive", "scan", "pipeline", "export", "incr",
-                   "ingest")  # dedup = diagnostic
+                   "ingest", "ingest_split")  # dedup = diagnostic
     # retry only on shapes actually being RE-MEASURED (ADVICE r3): a
     # stored below-target shape outside run_shapes can't improve, so
     # gating on it would burn max_attempts re-running the others
@@ -332,11 +363,13 @@ def main() -> None:
                                            best["pipeline"], best["dedup"],
                                            best["export"], best["incr"])
     ing = best["ingest"]
+    isp = best["ingest_split"]
     ambient = f"{best['loadavg_before']} -> {best['loadavg_after']}"
     # headline = the compute-shape (engine behavior); the scan shape
     # shares ONE local disk/page cache across all executors, which a
     # real cluster does not — reported as a secondary data point
-    result = {"experiments": [derive, scan, pipe, dedup, exp, inc, ing],
+    result = {"experiments": [derive, scan, pipe, dedup, exp, inc, ing,
+                              isp],
               "headline_efficiency": derive["scaling_efficiency"],
               "pass": derive["pass"],
               "ambient_loadavg": ambient}
@@ -348,6 +381,7 @@ def main() -> None:
     elo, ehi, eeff = exp["N_executors"], exp["4N_executors"], exp["scaling_efficiency"]
     ilo, ihi, ieff = inc["N_executors"], inc["4N_executors"], inc["scaling_efficiency"]
     glo, ghi, geff = ing["N_executors"], ing["4N_executors"], ing["scaling_efficiency"]
+    slo, shi, seff = isp["N_executors"], isp["4N_executors"], isp["scaling_efficiency"]
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -464,6 +498,21 @@ every crawl consumer runs first:
 | local-cluster[4,4] (4N)  | 16 | {ghi['sec']} | {ghi['docs_per_sec']:,} |
 
 **efficiency = {geff}** (target ≥ 0.8: {"PASS" if geff >= 0.8 else "FAIL"})
+
+**H. ingest of OVERSIZED shards via the byte-range splitter (r5
+cont.4)** — the bounded-task-size counterfactual: the same parse over
+{slo['n_docs']:,} docs framed as only 4 big gzip shards (~170 MB
+each).  File-grain tasks would cap parallelism at 4 forever; the
+splitter (verified gzip-member sync, exactly-once by range ownership,
+see BENCH/ab_warc_split_r5.json) keeps ~8 MB tasks, so the 4× executor
+step still has work to spread:
+
+| config | cores | wall sec | docs/sec |
+|---|---|---|---|
+| local-cluster[1,4] (N)   | 4  | {slo['sec']} | {slo['docs_per_sec']:,} |
+| local-cluster[4,4] (4N)  | 16 | {shi['sec']} | {shi['docs_per_sec']:,} |
+
+**efficiency = {seff}** (target ≥ 0.8: {"PASS" if seff >= 0.8 else "FAIL"})
 
 Shape B is the headline metric: it isolates ENGINE scaling.  Shape A
 funnels all executors through one local disk + page cache, a

@@ -195,3 +195,82 @@ def test_frame_errors_fail_loudly_by_default(run):
     m = json.loads(proc2.stdout.strip().splitlines()[-1])
     assert m["n_frame_errors"] == 1
     assert m["n_clean"] == 1
+
+
+def test_retraction_chain_with_counting_state(spark, sf_dir, run):
+    """Three-day chain with a day-1 takedown: retracted urls leave the
+    registry and the counting-bloom state, come back NOVEL when
+    recrawled on day 2, and unknown retractions are reported but never
+    folded (the underflow guard stays meaningful)."""
+    base, _, _, _, _ = run
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text", "lang")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    days = [d.filter(F.col("doc_id") < 300),
+            d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400)),
+            d.filter(((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+                     | ((F.col("doc_id") >= 250) & (F.col("doc_id") < 260)))]
+    shard_dirs = []
+    for i, day in enumerate(days):
+        p = os.path.join(base, f"retr-shards-{i}")
+        write_warc_fixture(spark, sf_dir, p, compress=True, df=day)
+        shard_dirs.append(p)
+    # takedown list: urls of docs [100, 200) (crawled day 0) + one url
+    # never crawled (doc 450) — must surface as retract_unknown
+    retr_path = os.path.join(base, "retr-urls")
+    d.filter(((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+             | (F.col("doc_id") == 450)).select(url) \
+        .write.parquet(retr_path)
+
+    out0, out1, out2 = (os.path.join(base, f"retr-day{i}") for i in range(3))
+    reg0, reg1 = (os.path.join(base, f"retr-reg{i}") for i in range(2))
+    cs0, cs1, cs2 = (os.path.join(base, f"retr-cs{i}") for i in range(3))
+    p0 = _submit("--input", shard_dirs[0], "--out", out0,
+                 "--history-out", reg0, "--counting-state-out", cs0)
+    assert p0.returncode == 0, p0.stderr[-2000:]
+    p1 = _submit("--input", shard_dirs[1], "--out", out1,
+                 "--history-urls", reg0, "--history-out", reg1,
+                 "--retract-urls", retr_path,
+                 "--counting-state-in", cs0, "--counting-state-out", cs1)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    m1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    clean0 = spark.read.parquet(os.path.join(out0, "clean"))
+    clean1 = spark.read.parquet(os.path.join(out1, "clean"))
+    retract = spark.read.parquet(retr_path)
+    # accounting: known = retracted urls actually in the day-0 registry
+    n_known = spark.read.parquet(reg0).join(
+        retract, "url", "left_semi").count()
+    assert m1["n_retracted"] == n_known > 0
+    # unknown = never-registered urls: doc 450 (never crawled) plus
+    # the corrupt residues in [100, 200) that were quarantined on day 0
+    n_unknown_want = retract.count() - n_known
+    assert m1["n_retract_unknown"] == n_unknown_want >= 1
+    # day-1 novel = clean1 minus (reg0 MINUS retractions)
+    live0 = spark.read.parquet(reg0).join(retract, "url", "left_anti")
+    want1 = clean1.join(live0, "url", "left_anti")
+    assert m1["n_novel"] == want1.count()
+    # registry after day 1 has no retracted url
+    assert spark.read.parquet(reg1).join(
+        retract, "url", "left_semi").count() == 0
+
+    p2 = _submit("--input", shard_dirs[2], "--out", out2,
+                 "--history-urls", reg1,
+                 "--counting-state-in", cs1, "--counting-state-out", cs2)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    m2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    clean2 = spark.read.parquet(os.path.join(out2, "clean"))
+    novel2 = spark.read.parquet(os.path.join(out2, "novel"))
+    # retracted-and-recrawled urls (100-149, clean residues) are novel
+    # again; the 250-259 recrawls are caught as seen — all EXACT vs
+    # the day-1 registry even through the counting-bloom probe
+    want2 = clean2.join(spark.read.parquet(reg1), "url", "left_anti")
+    assert m2["n_novel"] == want2.count() == novel2.count()
+    assert novel2.select("url").exceptAll(want2.select("url")).count() == 0
+    got_recrawled = novel2.filter(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") < 150)
+    want_recrawled = clean2.filter(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") < 150)
+    assert got_recrawled.count() == want_recrawled.count() > 0
+    assert os.path.exists(os.path.join(cs2, "_SUCCESS"))

@@ -166,6 +166,30 @@ def test_many_tiny_members_single_range():
     assert all(p is not None for _, p in got)
 
 
+def test_response_split_equals_whole_file_responses(spark, sf_dir, paths):
+    """The raw-crawl (html:binary) twin: byte-range reading of
+    response shards matches the file-grain reader byte for byte."""
+    from xjs.sources.warc import (
+        read_warc_responses, read_warc_responses_split,
+    )
+
+    base, _, _ = paths
+    gz = write_warc_fixture(
+        spark, sf_dir, os.path.join(base, "resp"), compress=True,
+        kind="response")
+
+    def frame(df):
+        return sorted(
+            (r.record_id, r.url, r.status, r.mime,
+             bytes(r.html) if r.html is not None else None)
+            for r in df.collect())
+
+    whole = frame(read_warc_responses(spark, gz))
+    split = frame(read_warc_responses_split(spark, gz, 4096))
+    assert len(whole) > 0
+    assert split == whole
+
+
 def test_open_input_handles_uri_and_plain_paths(paths):
     base, gz, _ = paths
     shard = sorted(f for f in os.listdir(gz) if f.endswith(".warc.gz"))[0]

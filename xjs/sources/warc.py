@@ -201,16 +201,32 @@ RESPONSE_SCHEMA = (
 )
 
 
+def _response_row(rec: dict) -> list | None:
+    """A parsed 'response' record -> the RESPONSE_SCHEMA row, splitting
+    the HTTP/1.1 message at the first CRLFCRLF: status + Content-Type
+    surfaced, body passed through UNDECODED (charset handling belongs
+    to the extraction stage, not the framing reader)."""
+    if rec.get("warc_type") != "response":
+        return None
+    head, _, body = rec["payload"].partition(CRLF + CRLF)
+    status = None
+    mime = None
+    lines = head.decode("utf-8", errors="replace").split("\r\n")
+    parts = lines[0].split()
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    for line in lines[1:]:
+        k, sep, v = line.partition(":")
+        if sep and k.strip().lower() == "content-type":
+            mime = v.strip()
+    return [rec.get("record_id"), "response", rec.get("url"),
+            rec.get("date_raw"), status, mime, body]
+
+
 def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
     """Directory of RAW-crawl shards -> one row per ``response`` record
     with the html payload kept as BINARY (the input_hint's html:binary
-    column, exactly as a crawler hands it over).
-
-    Each response payload is an HTTP/1.1 message: status line +
-    headers, blank line, body.  The reader splits at the first
-    CRLFCRLF, surfaces the status code and Content-Type, and passes
-    the body through UNDECODED — charset handling belongs to the
-    extraction stage, not the framing reader."""
+    column, exactly as a crawler hands it over)."""
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,22 +236,9 @@ def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for content in pdf["content"]:
                 for rec in parse_warc_records(_decompress(bytes(content))):
-                    if rec.get("warc_type") != "response":
-                        continue
-                    head, _, body = rec["payload"].partition(CRLF + CRLF)
-                    status = None
-                    mime = None
-                    lines = head.decode("utf-8", errors="replace").split("\r\n")
-                    parts = lines[0].split()
-                    if len(parts) >= 2 and parts[1].isdigit():
-                        status = int(parts[1])
-                    for line in lines[1:]:
-                        k, sep, v = line.partition(":")
-                        if sep and k.strip().lower() == "content-type":
-                            mime = v.strip()
-                    rows.append([rec.get("record_id"), "response",
-                                 rec.get("url"), rec.get("date_raw"),
-                                 status, mime, body])
+                    row = _response_row(rec)
+                    if row is not None:
+                        rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select("content").mapInPandas(parse, RESPONSE_SCHEMA)
@@ -488,6 +491,49 @@ def read_warc_wet_split(
             yield pd.DataFrame(out, columns=cols + ["text"])
 
     return splits.mapInPandas(parse, RECORD_SCHEMA)
+
+
+def read_warc_responses_split(
+    spark: SparkSession, path: str, target_split_bytes: int = 32 << 20,
+) -> DataFrame:
+    """``read_warc_responses`` through the byte-range splitter — the
+    RAW-crawl (html:binary) twin of ``read_warc_wet_split`` for
+    oversized response shards; same exactly-once range ownership."""
+    rows = plan_warc_splits(spark, path, target_split_bytes)
+    splits = spark.createDataFrame(
+        rows, "path string, start long, end long, file_len long")
+    splits = splits.repartition(max(1, len(rows)))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["record_id", "warc_type", "url", "date_raw",
+                "status", "mime", "html"]
+        for pdf in batches:
+            out = []
+            for path_, start, end, flen in zip(
+                    pdf["path"], pdf["start"], pdf["end"], pdf["file_len"]):
+                f = _open_input(path_)
+                try:
+                    if not path_.endswith(".gz"):
+                        members = [(0, f.read())]
+                    else:
+                        members = iter_range_members(
+                            f, int(flen), int(start), int(end))
+                    for off, payload in members:
+                        if payload is None:
+                            out.append([None, "__frame_error__", None,
+                                        None, None, None,
+                                        f"corrupt gzip member at offset "
+                                        f"{off} of {path_}".encode()])
+                            continue
+                        for rec in parse_warc_records(payload):
+                            row = _response_row(rec)
+                            if row is not None:
+                                out.append(row)
+                finally:
+                    f.close()
+            yield pd.DataFrame(out, columns=cols)
+
+    return splits.mapInPandas(parse, RESPONSE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
