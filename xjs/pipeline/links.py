@@ -105,22 +105,33 @@ def pagerank_int(
     duplicate edges are removed up front.
 
     Scale shape: per iteration ONE join of the (node, score) table to
-    the edge list on src + one partial-agg groupBy on dst — hub
-    in-degree skew is absorbed map-side like any count.  The edge
-    list is reused across iterations (cache it); iteration count is
-    fixed and small, the lineage is cut nowhere because 3 joins deep
-    is shallower than the dedup clusters' pointer-jumping loop."""
+    the degree-annotated edge list on src + one partial-agg groupBy on
+    dst — hub in-degree skew is absorbed map-side like any count.  The
+    edge list is derived ONCE and cut with localCheckpoint (the
+    clusters.py pointer-jumping pattern): without the cut, every
+    iteration's plan re-derives the edge extraction (regexp over html
+    at the call sites here) once per reference — measured as 24
+    Exchanges for 3 iterations vs ~10 after.  out_degree is folded
+    into the edge table before the loop so the per-iteration work is
+    exactly join + agg; the checkpointed edge table is pre-partitioned
+    on src so the iteration join re-shuffles only the scores side."""
     e = (edges.filter(F.col("src") != F.col("dst"))
-         .select("src", "dst").distinct())
+         .select("src", "dst").distinct()
+         .localCheckpoint(eager=False))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    e_deg = (e.join(out_deg, "src")
+             .repartition("src")
+             .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .repartition("node")
+             .localCheckpoint(eager=False))
     base = scale * (100 - damping_pct) // 100
     scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
     for _ in range(iterations):
-        contrib = (e.join(scores.withColumnRenamed("node", "src"), "src")
-                   .join(out_deg, "src")
+        contrib = (e_deg.join(scores.withColumnRenamed("node", "src"),
+                              "src")
                    .select(F.col("dst").alias("node"),
                            F.expr("score div outd").alias("c")))
         recv = contrib.groupBy("node").agg(F.sum("c").alias("r"))
