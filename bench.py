@@ -558,6 +558,80 @@ def build_queries(spark, sf_dir: str, factor: int):
         new = pages.filter(F.col("doc_id") % 3 == 0)
         return force(novel_keys(new, hist, "url", n_bits=1 << 23, k=5))
 
+    def q_bloom_novel_retraction():
+        # takedown-day novelty: counting-bloom state folds 500k adds,
+        # then ~100k retractions; probe the binarized state, exact
+        # verify join over survivors only (adds MINUS removes live set)
+        import shutil
+        import tempfile
+
+        from xjs.pipeline.bloom import (
+            counting_state_update, counting_to_bits, novel_keys,
+        )
+
+        pages = spark.read.parquet(wp_path).select(
+            "doc_id",
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/p/"),
+                     F.col("doc_id").cast("string")).alias("url"))
+        adds = pages.filter(F.col("doc_id") % 2 == 0)
+        removes = pages.filter(F.col("doc_id") % 10 == 4).select("url")
+        new = pages.filter(F.col("doc_id") % 3 == 0)
+        live = adds.join(removes, "url", "left_anti")
+        base = tempfile.mkdtemp(prefix="bench-cbloom-",
+                                dir=os.path.join(REPO, ".tmp"))
+        try:
+            counting_state_update(spark, adds, None, "url",
+                                  os.path.join(base, "day1"),
+                                  n_slots=1 << 23, k=5)
+            counters = counting_state_update(
+                spark, None, removes,
+                "url", os.path.join(base, "day2"),
+                prev_state_dir=os.path.join(base, "day1"),
+                n_slots=1 << 23, k=5)
+            return force(novel_keys(new, live, "url",
+                                    bloom=counting_to_bits(counters)))
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def q_lm_ccnet_buckets():
+        # CCNet's deployment form of the perplexity gate: score the 1M
+        # docs once, tercile cutoffs from a hashed sample (the only
+        # sort is sample-sized), broadcast thresholds, narrow assign
+        from xjs.pipeline.lm import ccnet_buckets
+
+        return force(ccnet_buckets(wp().select("doc_id", "text", "lang")))
+
+    def q_robots_filter():
+        # RFC 9309 exclusion gate at 1M urls: domain-grain packed rules
+        # broadcast + array-HOF longest-match — zero corpus shuffle
+        from xjs.pipeline.robots import robots_filter, robots_rules
+
+        corpus = wp().select(
+            "doc_id",
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/doc/"),
+                     F.col("doc_id").cast("string")).alias("url"))
+        return force(robots_filter(corpus, robots_rules(spark, sf_dir)))
+
+    def q_html_links():
+        # hyperlink extraction at 1M pages (~3M kept links): scan-fused
+        # regexp_extract_all + transform/filter + explode, zero shuffle
+        from xjs.pipeline.links import html_extract_links, linked_pages_from
+
+        return force(html_extract_links(
+            linked_pages_from(wp().select("doc_id", "source"))))
+
+    def q_link_pagerank():
+        # 3 integer PageRank iterations over the ~3M-edge page graph:
+        # edge list built by formula (extraction is the html_links
+        # row's bill), localCheckpointed once; per iteration one src
+        # join + one dst partial-agg
+        from xjs.pipeline.links import link_edges_from, pagerank_int
+
+        edges = link_edges_from(wp().select("doc_id", "source"))
+        return force(pagerank_int(edges, iterations=3))
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -615,6 +689,11 @@ def build_queries(spark, sf_dir: str, factor: int):
         "warc_ingest_split": q_warc_ingest_split,
         "warc_html_extract": q_warc_html_extract,
         "bloom_novel": q_bloom_novel,
+        "bloom_novel_retraction": q_bloom_novel_retraction,
+        "lm_ccnet_buckets": q_lm_ccnet_buckets,
+        "robots_filter": q_robots_filter,
+        "html_links": q_html_links,
+        "link_pagerank": q_link_pagerank,
         "dynamic_json_udf": q_dynamic_udf,
     }
 

@@ -149,10 +149,10 @@ def pagerank_int(
 # ---------------------------------------------------------------------------
 
 
-def linked_page_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, url, html): pages whose links are pure formulas of
-    (doc_id, source) under both quoting styles + junk to drop."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def linked_pages_from(d: DataFrame) -> DataFrame:
+    """(doc_id, url, html) from any (doc_id, source) frame — the link
+    fixture as a pure projection, so bench can build it over the
+    factor-scaled page table at 1M+ docs."""
     doc_id, src = F.col("doc_id"), F.col("source")
     url = F.concat(F.lit("https://"), src, F.lit(".example.com/doc/"),
                    doc_id.cast("string"))
@@ -171,6 +171,43 @@ def linked_page_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.when(doc_id % 211 == 0, F.lit(None).cast("string")) \
         .otherwise(page)
     return d.select(doc_id, url.alias("url"), html.alias("html"))
+
+
+def linked_page_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, html): pages whose links are pure formulas of
+    (doc_id, source) under both quoting styles + junk to drop."""
+    return linked_pages_from(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def link_edges_from(d: DataFrame) -> DataFrame:
+    """(src, dst) url edges from any (doc_id, source) frame — the
+    fixture's three kept links restated as the same formulas the
+    oracle CTE uses, skipping html synthesis + parsing.  Bench uses
+    this to price the PageRank iterations themselves rather than
+    re-billing extraction (which the html_links row prices)."""
+    doc_id, src = F.col("doc_id"), F.col("source")
+    page_url = F.concat(F.lit("https://"), src, F.lit(".example.com/doc/"),
+                        doc_id.cast("string"))
+    pages = d.filter(doc_id % 211 != 0).select(
+        doc_id, src.alias("source"), page_url.alias("url"))
+    did, s = F.col("doc_id"), F.col("source")
+    out = []
+    for target in (
+        F.concat(F.lit("https://"), s, F.lit(".example.com/doc/"),
+                 (did + 7).cast("string")),
+        F.concat(F.lit("https://"), s, F.lit(".example.com/doc/"),
+                 (did * 2).cast("string")),
+        F.concat(F.lit("https://hub"), F.pmod(did, F.lit(3)).cast("string"),
+                 F.lit(".example.com/t/"),
+                 F.pmod(did, F.lit(50)).cast("string")),
+    ):
+        out.append(pages.select(F.col("url").alias("src"),
+                                target.alias("dst")))
+    e = out[0]
+    for o in out[1:]:
+        e = e.unionByName(o)
+    return e
 
 
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
