@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_real": bpe.q_token_count_real,
         "pack_sequences_bpe": bpe.q_pack_sequences_bpe,
         "dedup_incremental": incremental.q_dedup_incremental,
+        "dedup_minhash_incremental": incremental.q_dedup_minhash_incremental,
         "line_dedup_lines": lines.q_line_dedup_lines,
         "line_dedup_remove": lines.q_line_dedup_remove,
         "line_dedup_incremental": lines.q_line_dedup_incremental,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_real": bpe.oracle_token_count_real_sql(),
         "pack_sequences_bpe": bpe.oracle_pack_sequences_bpe_sql(),
         "dedup_incremental": incremental.oracle_dedup_incremental_sql(),
+        "dedup_minhash_incremental": incremental.oracle_dedup_minhash_incremental_sql(),
         "line_dedup_lines": lines.oracle_line_dedup_lines_sql(),
         "line_dedup_remove": lines.oracle_line_dedup_remove_sql(),
         "line_dedup_incremental": lines.oracle_line_dedup_incremental_sql(),

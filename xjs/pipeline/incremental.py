@@ -81,6 +81,11 @@ __all__ = [
     "survivors",
     "q_dedup_incremental",
     "oracle_dedup_incremental_sql",
+    "minhash_incremental_update",
+    "load_minhash_state",
+    "minhash_survivors",
+    "q_dedup_minhash_incremental",
+    "oracle_dedup_minhash_incremental_sql",
 ]
 
 
@@ -279,6 +284,286 @@ pairs AS (
     FROM chunks a JOIN chunks b
       ON a.chunk = b.chunk AND a.val = b.val AND a.rep < b.rep
     WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_T}
+),
+edges AS (SELECT ra AS a, rb AS b FROM pairs UNION SELECT rb, ra FROM pairs),
+reach(src, node) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+),
+roots AS (SELECT src AS rep, MIN(node) AS root FROM reach GROUP BY src),
+membership AS (
+    SELECT c.doc_id, COALESCE(r.root, u.rep) AS root
+    FROM corpus c
+    JOIN uniq u ON u.dig = md5(c.text)
+    LEFT JOIN roots r ON r.rep = u.rep
+)
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM membership GROUP BY root
+"""
+
+
+# --------------------------------------------------------------------------
+# minhash-LSH incremental twin
+# --------------------------------------------------------------------------
+#
+# Same state algebra as the simhash family above, with two contract
+# decisions forced by the no-text-rescan invariant, both deliberate:
+#
+# * **Verification is signature agreement, not exact token Jaccard.**
+#   The batch path's exact-Jaccard verify re-reads both texts; for a
+#   new-vs-HISTORY pair the historical text is exactly what incremental
+#   mode must never touch.  Storing token sets would make state
+#   text-sized and defeat the point.  The incremental contract is
+#   therefore: pair kept iff >= AGREE_T of the K minhash components
+#   agree (the standard estimator: P[component match] = Jaccard, so
+#   AGREE_T = K/2 mirrors JACCARD_T = 0.5).  Agreement is a pure
+#   function of STORED signatures — deterministic, exactly restatable
+#   by the DuckDB oracle, and slice-order invariant.
+#
+# * **Banding is uncapped.**  The batch bucket cap (MINHASH_MAX_BUCKET)
+#   drops a bucket based on its FULL-corpus size; incrementally a
+#   bucket can be under the cap on early days (edges emitted, components
+#   merged) and over it later — capped-fold == capped-batch would
+#   require retracting merges, which union state cannot express.  The
+#   production bucket-mass defense remains exact-collapse-first (this
+#   module's step 1): buckets are bounded by NEAR-duplicate mass, not
+#   corpus mass.
+#
+# Equivalence argument (mirrors the simhash family): the pair predicate
+# (shared band AND agreement >= AGREE_T) is a function of signatures
+# alone; identical texts have identical signatures, so contracting
+# exact duplicates to a representative preserves the component
+# structure, and contracting settled components to roots preserves
+# reachability.  Every rep pair is evaluated exactly once — within its
+# arrival slice (new-vs-new) or when the later rep arrives
+# (new-vs-history with chunks derived from STORED signatures) — so any
+# slice-sequence fold equals the one-shot batch recompute, which is
+# exactly what the oracle states.
+
+AGREE_T = 6  # of K=12 minhash components: the >=0.5 estimated-Jaccard gate
+
+
+def _mh_bands(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) from stored (id, sig array<long>) rows — the
+    same band grouping the batch path derives inline, computed from
+    state without touching text.  Docs too short to shingle have
+    all-NULL signatures -> empty band keys, filtered exactly as the
+    batch path filters them."""
+    from xjs.pipeline.dedup import band_keys
+
+    return (
+        df.select(F.col(id_col), F.posexplode(band_keys(F.col("sig"))).alias("band", "key"))
+        .filter(F.col("key") != "")
+    )
+
+
+def _agreement(sa: F.Column, sb: F.Column) -> F.Column:
+    """Count of agreeing non-null components between two signatures."""
+    return F.size(
+        F.filter(
+            F.zip_with(sa, sb, lambda x, y: x.isNotNull() & y.isNotNull() & (x == y)),
+            lambda m: m,
+        )
+    )
+
+
+def _mh_pairs(a: DataFrame, b: DataFrame, a_sigs: DataFrame, b_sigs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): ids sharing >=1 band whose stored signatures
+    agree on >= AGREE_T components.  Band join first (candidate-sized),
+    signatures joined onto the DISTINCT candidate pairs only."""
+    cands = (
+        a.alias("a")
+        .join(b.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    j = (
+        cands.join(a_sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(b_sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+    )
+    return (
+        j.filter(_agreement(F.col("sig_a"), F.col("sig_b")) >= AGREE_T)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _mh_complete(state_dir: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(state_dir, t, "_SUCCESS"))
+        for t in ("digests", "sigs", "members")
+    )
+
+
+def load_minhash_state(spark: SparkSession, state_dir: str):
+    return (
+        spark.read.parquet(os.path.join(state_dir, "digests")),
+        spark.read.parquet(os.path.join(state_dir, "sigs")),
+        spark.read.parquet(os.path.join(state_dir, "members")),
+    )
+
+
+def minhash_incremental_update(
+    spark: SparkSession,
+    new_df: DataFrame,
+    state_out: str,
+    state_in: str | None = None,
+    hash_mode: str = "portable",
+) -> None:
+    """Fold a new corpus slice (doc_id, text) into minhash-LSH dedup
+    state (digests / sigs(rep_id, sig, root) / members — the layout of
+    ``incremental_update`` with an array<long> signature column).
+    Replay-safe via _SUCCESS markers, like every state writer here."""
+    from xjs.pipeline.dedup import minhash_signature
+
+    if _mh_complete(state_out):
+        return
+
+    new_docs = new_df.select("doc_id", F.md5(F.col("text")).alias("dig"), "text")
+
+    if state_in is not None:
+        digests, sigs, members = load_minhash_state(spark, state_in)
+    else:
+        digests = spark.createDataFrame([], "dig string, rep_id long")
+        sigs = spark.createDataFrame([], "rep_id long, sig array<long>, root long")
+        members = spark.createDataFrame([], "doc_id long, rep_id long")
+
+    # 1. exact-collapse within the slice and against history
+    slice_groups = (
+        new_docs.groupBy("dig")
+        .agg(F.min("doc_id").alias("slice_rep"), F.any_value("text").alias("text"))
+        .join(digests, "dig", "left")
+    )
+    unseen = slice_groups.filter(F.col("rep_id").isNull()).select(
+        "dig", F.col("slice_rep").alias("rep_id"), "text"
+    )
+
+    # 2. signatures for genuinely new texts only (the only text touch)
+    new_sigs = unseen.select(
+        "rep_id", minhash_signature(F.col("text"), hash_mode).alias("sig")
+    ).localCheckpoint(eager=True)  # cut lineage: reused 4x below
+
+    # 3. candidates: new-new + new-history, verified by agreement
+    ns = new_sigs.withColumnRenamed("rep_id", "id")
+    nb = _mh_bands(ns, "id")
+    pairs_nn = _mh_pairs(nb, nb, ns, ns).filter(F.col("doc_a") < F.col("doc_b"))
+    os_ = sigs.select(F.col("rep_id").alias("id"), "sig")
+    ob = _mh_bands(os_, "id")
+    pairs_no = (
+        _mh_pairs(nb, ob, ns, os_)
+        .join(sigs.select(F.col("rep_id").alias("doc_b"), "root"), "doc_b")
+        .select("doc_a", F.col("root").alias("doc_b"))
+        .distinct()
+    )
+
+    # 4. components over the contracted edge graph
+    cc = connected_components(pairs_nn.unionAll(pairs_no))
+
+    new_sig_rows = (
+        new_sigs.join(cc.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left")
+        .select("rep_id", "sig", F.coalesce("cluster", F.col("rep_id")).alias("root"))
+    )
+    remap = cc.select(F.col("doc_id").alias("root"), F.col("cluster").alias("new_root"))
+    old_sig_rows = (
+        sigs.join(F.broadcast(remap), "root", "left")
+        .select("rep_id", "sig", F.coalesce("new_root", F.col("root")).alias("root"))
+    )
+
+    # 5. persist updated state
+    out_digests = digests.unionAll(unseen.select("dig", "rep_id"))
+    out_members = members.unionAll(
+        new_docs.select("doc_id", "dig")
+        .join(out_digests, "dig")
+        .select("doc_id", "rep_id")
+    )
+    _write(out_digests, os.path.join(state_out, "digests"))
+    _write(old_sig_rows.unionAll(new_sig_rows), os.path.join(state_out, "sigs"))
+    _write(out_members, os.path.join(state_out, "members"))
+
+
+def minhash_survivors(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(keep_doc_id, n_docs) per near-duplicate component over
+    everything folded so far, computed from state alone."""
+    _, sigs, members = load_minhash_state(spark, state_dir)
+    return (
+        members.join(sigs.select("rep_id", "root"), "rep_id")
+        .groupBy("root")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .select("keep_doc_id", "n_docs")
+    )
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-slice interleaved replay (doc_id % 3: later slices carry
+    smaller ids than earlier reps) through minhash state; the oracle
+    recomputes the same survivors from the full corpus in one batch
+    under the identical agreement contract."""
+    import shutil
+    import tempfile
+
+    corpus = dedup_corpus(spark, sf_dir)
+    base = tempfile.mkdtemp(
+        prefix="mh-incr-", dir=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+    )
+    try:
+        prev = None
+        for day in range(3):
+            out = os.path.join(base, f"day{day}")
+            minhash_incremental_update(
+                spark, corpus.filter(F.col("doc_id") % 3 == day), out, prev
+            )
+            prev = out
+        return minhash_survivors(spark, prev).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_dedup_minhash_incremental_sql() -> str:
+    from xjs.pipeline.dedup import (
+        BANDS,
+        K,
+        MOD,
+        ROWS,
+        _shingle_hashes_sql,
+        hash_params,
+    )
+
+    sig_items = []
+    for k in range(K):
+        a, b = hash_params(k)
+        sig_items.append(f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MOD}))")
+    band_exprs = []
+    for bnd in range(BANDS):
+        parts = [f"sig[{bnd * ROWS + r + 1}]::VARCHAR" for r in range(ROWS)]
+        band_exprs.append(" || '_' || ".join(parts))
+    return f"""
+WITH RECURSIVE {DUCKDB_CORPUS_CTE.strip()},
+uniq AS (SELECT md5(text) AS dig, MIN(doc_id) AS rep FROM corpus GROUP BY 1),
+rtexts AS (SELECT u.rep, c.text FROM uniq u JOIN corpus c ON c.doc_id = u.rep),
+sigs AS (
+    SELECT rep, [{', '.join(sig_items)}] AS sig
+    FROM (SELECT rep, {_shingle_hashes_sql()} AS hs FROM rtexts)
+),
+bands AS (
+    SELECT rep, band, key FROM (
+        SELECT rep, UNNEST(RANGE({BANDS})) AS band,
+               UNNEST([{', '.join(band_exprs)}]) AS key
+        FROM sigs
+    ) WHERE key IS NOT NULL AND key <> ''
+),
+cands AS (
+    SELECT DISTINCT a.rep AS ra, b.rep AS rb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.rep < b.rep
+),
+pairs AS (
+    SELECT ra, rb FROM cands
+    JOIN sigs sa ON sa.rep = ra
+    JOIN sigs sb ON sb.rep = rb
+    WHERE len(list_filter(range(1, {K + 1}),
+              i -> sa.sig[i] IS NOT NULL AND sa.sig[i] = sb.sig[i])) >= {AGREE_T}
 ),
 edges AS (SELECT ra AS a, rb AS b FROM pairs UNION SELECT rb, ra FROM pairs),
 reach(src, node) AS (
