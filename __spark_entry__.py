@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new or changed in round 5: inside the 50-row window so
         # every one gets its FIRST (or post-change) driver row now ---
+        "dedup_survivors_quality": clusters.q_dedup_survivors_quality,
         "warc_ingest_clean": warc.q_warc_ingest_clean,
         "warc_ingest_split": warc.q_warc_ingest_split,
         "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "char_dedup_remove": suffix.oracle_char_remove_sql(),
         "char_dedup_incremental": suffix.oracle_char_incremental_sql(),
         "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
+        "dedup_survivors_quality": clusters.oracle_dedup_survivors_quality_sql(),
         "warc_ingest_clean": warc.oracle_warc_clean_sql(),
         # split reader must invert the generator exactly like the
         # whole-file reader: same constructive oracle

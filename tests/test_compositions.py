@@ -89,3 +89,52 @@ def test_curate_corpus_is_subset_with_gates(spark, sf_dir):
     dup_ids = {r["doc_id"] for r in substring_duplicates(
         corpus.join(survivors.select("doc_id"), "doc_id")).select("doc_id").collect()}
     assert kept.isdisjoint(dup_ids)
+
+
+def test_quality_survivor_argmax_and_tiebreak(spark):
+    """Quality-aware survivor: argmax(quality_score) per cluster, ties
+    to the smaller doc_id; exactly one keep per cluster."""
+    # cluster {1,2,3}: doc 2 has many stopwords + tokens -> highest q;
+    # cluster {10,11}: identical text -> tie broken to doc 10
+    rich = "the and is of to in a " * 20
+    docs = spark.createDataFrame(
+        [
+            (1, "zzz qqq xxx!!!???..."),
+            (2, rich),
+            (3, "one two three"),
+            (10, "same text the and"),
+            (11, "same text the and"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in
+           clusters.dedup_survivors_quality(docs, pairs).collect()}
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert out[10]["keep"] and not out[11]["keep"]
+    by_cluster = {}
+    for r in out.values():
+        by_cluster.setdefault(r["cluster"], 0)
+        by_cluster[r["cluster"]] += int(r["keep"])
+    assert all(v == 1 for v in by_cluster.values())
+    # min-id survivor would have kept doc 1 — the counterfactual that
+    # makes the quality pick demonstrably different
+    minid = {r["doc_id"]: r["keep"]
+             for r in clusters.dedup_survivors(docs, pairs).collect()}
+    assert minid[1] and not minid[2]
+
+
+def test_quality_survivor_matches_driver_oracle(spark, sf_dir):
+    """The fixture-corpus query keeps exactly one doc per cluster and
+    every kept doc has max q in its cluster (doc-id tiebreak)."""
+    rows = clusters.q_dedup_survivors_quality(spark, sf_dir).collect()
+    best = {}
+    for r in rows:
+        c = r["cluster"]
+        key = (-r["q"], r["doc_id"])
+        if c not in best or key < best[c][0]:
+            best[c] = (key, r["doc_id"])
+    for r in rows:
+        assert r["keep"] == (best[r["cluster"]][1] == r["doc_id"])

@@ -143,3 +143,98 @@ reach(src, node) AS (
 SELECT src AS doc_id, MIN(node) AS cluster, src = MIN(node) AS keep
 FROM reach GROUP BY src
 """
+
+
+# --------------------------------------------------------------------------
+# quality-aware survivor selection
+# --------------------------------------------------------------------------
+
+
+def dedup_survivors_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, cluster, q, keep): cluster representative = the
+    HIGHEST-quality member (ties to the smaller doc_id) instead of
+    ``dedup_survivors``' min-id pick — the production choice when the
+    near-dup cluster mixes a clean page with its ad-laden mirrors and
+    the pipeline should keep the best copy, not the first-crawled one.
+
+    Scale shape: components run over the candidate-pair graph (edges,
+    not documents); the quality score joins in on doc_id for CLUSTERED
+    docs only (the corpus at large never shuffles — cc output is
+    pair-graph-sized); the argmax is one row_number window partitioned
+    by cluster over that same small set.  Ranking uses
+    ``text.quality_score`` (4-decimal rounded, bit-identical to its
+    DuckDB twin ``quality_score_sql`` — the lock-step pair the curate
+    oracles already prove), so the argmax is exact, never a float
+    knife-edge.
+
+    The reference engine (/root/reference, a schema validator) has no
+    corpus operators; this op belongs to the training-data-pipeline
+    mandate (SURVEY.md §2.10).
+    """
+    from pyspark.sql import Window
+
+    from xjs.pipeline.text import quality_score
+
+    cc = connected_components(pairs)
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score(F.col(text_col)).alias("q"),
+    )
+    labeled = cc.join(scored, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    return labeled.select(
+        "doc_id", "cluster", "q",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    pairs = verified_near_duplicates(corpus)
+    return dedup_survivors_quality(corpus, pairs)
+
+
+def oracle_dedup_survivors_quality_sql() -> str:
+    # same reachability CTE as oracle_dedup_clusters_sql; the survivor
+    # pick swaps min-id for argmax(quality, ties to min doc_id)
+    from xjs.pipeline.dedup import JACCARD_T
+    from xjs.pipeline.text import quality_score_sql
+
+    return f"""
+WITH RECURSIVE {DUCKDB_CORPUS_CTE.strip()},
+{_minhash_sql().strip()},
+pairs AS (
+    SELECT doc_a, doc_b FROM cands
+    JOIN toksets ta ON ta.doc_id = doc_a
+    JOIN toksets tb ON tb.doc_id = doc_b
+    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+          (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= {JACCARD_T}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+),
+labeled AS (
+    SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src
+),
+scored AS (
+    SELECT l.doc_id, l.cluster, {quality_score_sql('c.text')} AS q
+    FROM labeled l JOIN corpus c ON c.doc_id = l.doc_id
+)
+SELECT doc_id, cluster, q,
+       ROW_NUMBER() OVER (PARTITION BY cluster
+                          ORDER BY q DESC, doc_id ASC) = 1 AS keep
+FROM scored
+"""
