@@ -57,6 +57,7 @@ from xjs.pipeline import (  # noqa: E402
     suffix,
     text,
     urls,
+    vocab,
 )
 from xjs import dynamic_spark, reports, skew  # noqa: E402
 
@@ -78,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed in round 5: inside the 50-row window so
         # every one gets its FIRST (or post-change) driver row now ---
         "dedup_survivors_quality": clusters.q_dedup_survivors_quality,
+        "vocab_top_words": vocab.q_vocab_top_words,
+        "tfidf_top_terms": vocab.q_tfidf_top_terms,
         "warc_ingest_clean": warc.q_warc_ingest_clean,
         "warc_ingest_split": warc.q_warc_ingest_split,
         "warc_ingest_quarantine": warc.q_warc_ingest_quarantine,
@@ -207,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "char_dedup_incremental": suffix.oracle_char_incremental_sql(),
         "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
         "dedup_survivors_quality": clusters.oracle_dedup_survivors_quality_sql(),
+        "vocab_top_words": vocab.oracle_vocab_top_words_sql(),
+        "tfidf_top_terms": vocab.oracle_tfidf_top_terms_sql(),
         "warc_ingest_clean": warc.oracle_warc_clean_sql(),
         # split reader must invert the generator exactly like the
         # whole-file reader: same constructive oracle

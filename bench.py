@@ -673,6 +673,40 @@ def build_queries(spark, sf_dir: str, factor: int):
         edges = link_edges_from(wp().select("doc_id", "source"))
         return force(pagerank_int(edges, iterations=3))
 
+    def q_vocab_top_words():
+        # tokenizer-prep vocabulary: one token-explode partial-agg
+        # over 1M page docs, TakeOrderedAndProject top-1000 cut,
+        # integer ppm coverage window over the 1000-row result
+        from xjs.pipeline.vocab import (
+            corpus_token_total, top_vocab, word_frequencies,
+        )
+
+        d = wp().select("doc_id", "text")
+        return force(top_vocab(word_frequencies(d), v=1000,
+                               total=corpus_token_total(d)))
+
+    vocab_path = wp_path + "-vocab"
+    if not os.path.exists(os.path.join(vocab_path, "_SUCCESS")):
+        from xjs.pipeline.vocab import (
+            corpus_token_total, top_vocab, word_frequencies,
+        )
+
+        _vd = spark.read.parquet(wp_path).select("doc_id", "text")
+        top_vocab(word_frequencies(_vd), v=1000,
+                  total=corpus_token_total(_vd)
+                  ).write.mode("overwrite").parquet(vocab_path)
+
+    def q_tfidf_top_terms():
+        # per-doc top-5 keywords by integer tf-idf over a STORED
+        # vocabulary (the production shape — the vocab build is the
+        # vocab_top_words row's bill): idf broadcast, no term-keyed
+        # shuffle join, doc-keyed top-k window over 1M docs
+        from xjs.pipeline.vocab import tfidf_top_terms
+
+        d = wp().select("doc_id", "text")
+        return force(tfidf_top_terms(
+            d, spark.read.parquet(vocab_path), k=5))
+
     def q_dynamic_udf():
         # the deliberate slow path: Arrow pandas-UDF JSON validation;
         # measured so the static-vs-dynamic cost ratio stays visible
@@ -736,6 +770,8 @@ def build_queries(spark, sf_dir: str, factor: int):
         "robots_filter": q_robots_filter,
         "html_links": q_html_links,
         "link_pagerank": q_link_pagerank,
+        "vocab_top_words": q_vocab_top_words,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dynamic_json_udf": q_dynamic_udf,
     }
 

@@ -1,0 +1,216 @@
+"""Corpus vocabulary building + broadcast-IDF keyword extraction —
+the tokenizer-training prep stage (word frequencies over the whole
+corpus, top-V cut, coverage curve) and the classic per-document
+top-terms op that rides the resulting bounded vocabulary.
+
+Scale shape:
+- ``word_frequencies``: one narrow token explode + ONE partial-agg
+  groupBy(token) — hot tokens ("the") are absorbed map-side like any
+  count; nothing else shuffles.
+- ``top_vocab``: orderBy(count desc, token).limit(V) compiles to
+  TakeOrderedAndProject (per-partition k-heaps + bounded driver-side
+  merge) — the corpus-sized frequency table never globally sorts.
+  Rank + cumulative coverage are a window over the V-row RESULT only
+  (V is a config constant, so the single-partition window is
+  metadata-sized by construction).  Coverage is integer ppm
+  (cum_count * 1_000_000 div total_tokens), so the DuckDB twin is
+  bit-exact — no float aggregation anywhere (the repo's integer
+  exactness pattern, cf. lm.py / links.pagerank_int).  Bound: the
+  ppm multiply lives in int64, exact up to ~9.2e12 total tokens
+  (~45 TB of text); past that, widen to decimal(38,0) on both sides
+  — the semantics are unchanged.
+- ``tfidf_top_terms``: IDF comes from the TOP-V vocabulary, which is
+  bounded and therefore BROADCAST — the (doc, term) tf rows join
+  without a term-keyed shuffle, dodging the stopword hot keys a
+  corpus-wide idf join would hit; per-doc top-k is a row_number
+  window partitioned by doc_id (doc-keyed, skew-free).  idf is the
+  integer surrogate (n_docs * 1_000_000) div df — monotone in
+  N/df and exactly restatable in SQL, documented in place of the
+  float ln(N/df) for oracle exactness.
+
+The reference engine (/root/reference, a schema validator) has no
+corpus operators; this family belongs to the training-data-pipeline
+mandate (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+DEFAULT_V = 1000
+DEFAULT_K = 5
+
+
+def _token_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, token): whitespace tokens, same split contract as
+    text.tokens (trim then split on \\s+); null/blank docs yield no
+    rows."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (df
+            .filter(F.col(text_col).isNotNull()
+                    & (F.length(F.trim(F.col(text_col))) > 0))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(toks).alias("token")))
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(token, cnt, df): corpus-wide occurrence count + document
+    frequency in ONE aggregation pass over the exploded tokens."""
+    return (_token_rows(df, text_col, id_col)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.count_distinct("doc_id").alias("df")))
+
+
+def corpus_token_total(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row (total): corpus-wide token occurrences as a NARROW
+    aggregate over per-doc token counts — same number as
+    sum(freqs.cnt) but without branching the exploded-token DAG a
+    second time (the freqs derivation is a shuffle; this is a scan)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.col(text_col).isNull()
+               | (F.length(F.trim(F.col(text_col))) == 0), F.lit(0)) \
+        .otherwise(F.size(toks))
+    return df.agg(F.sum(n).alias("total"))
+
+
+def top_vocab(freqs: DataFrame, v: int = DEFAULT_V,
+              total: DataFrame | None = None) -> DataFrame:
+    """(rank, token, cnt, df, cum_cov_ppm): the top-``v`` tokens by
+    (cnt desc, token asc — deterministic tie-break) with the integer
+    cumulative-coverage curve (ppm of ALL token occurrences, including
+    those outside the vocabulary).
+
+    ``total`` (one-row frame with a ``total`` column) lets callers
+    that hold the corpus supply ``corpus_token_total`` — without it,
+    the sum re-derives the exploded-token aggregation a second time
+    (two full explode+shuffle passes instead of one + a narrow scan;
+    measured ~1.5x the row at 1M docs)."""
+    if total is None:
+        total = freqs.agg(F.sum("cnt").alias("total"))
+    top = freqs.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(v)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (top.crossJoin(F.broadcast(total))
+            .select(
+                F.row_number().over(w).alias("rank"),
+                "token", "cnt", "df",
+                F.expr(f"(sum(cnt) over (order by cnt desc, token asc "
+                       f"rows between unbounded preceding and current row)"
+                       f" * {PPM}) div total").alias("cum_cov_ppm"),
+            ))
+
+
+def tfidf_top_terms(df: DataFrame, vocab: DataFrame,
+                    k: int = DEFAULT_K,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf, score, rank): each document's top-``k``
+    vocabulary terms by integer tf-idf.
+
+    score = tf * idf_micro with idf_micro = (n_docs * 1_000_000) div
+    df — the integer rarity surrogate (monotone in N/df), chosen over
+    float ln(N/df) so the ranking has no float knife-edges and the
+    DuckDB oracle bit-matches.  Ties break (score desc, term asc).
+    ``vocab`` is the bounded top-V table, so the idf side broadcasts;
+    n_docs counts docs with at least one token (the same population
+    the df column was computed over)."""
+    toks = _token_rows(df, text_col, id_col)
+    # n_docs = docs with >= 1 token == docs with non-blank text: count
+    # it on the CORPUS (one narrow scan) instead of a count_distinct
+    # over the exploded token table, which costs a corpus-of-tokens
+    # shuffle for the same number (measured 1.4x on the whole row at
+    # 1M docs)
+    n_docs = (df.filter(F.col(text_col).isNotNull()
+                        & (F.length(F.trim(F.col(text_col))) > 0))
+              .agg(F.count_distinct(id_col).alias("n_docs")))
+    idf = (vocab.crossJoin(F.broadcast(n_docs))
+           .select("token",
+                   F.expr(f"(n_docs * {PPM}) div df").alias("idf_micro")))
+    tf = (toks.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    scored = (tf.join(F.broadcast(idf), "token")
+              .select("doc_id", F.col("token").alias("term"), "tf",
+                      (F.col("tf") * F.col("idf_micro")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_vocab(word_frequencies(d), v=DEFAULT_V,
+                     total=corpus_token_total(d))
+
+
+_TOKEN_CTE = """
+tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+freqs AS (
+    SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token
+)
+"""
+
+
+def oracle_vocab_top_words_sql(v: int = DEFAULT_V) -> str:
+    return f"""
+WITH {_TOKEN_CTE.strip()},
+top AS (
+    SELECT * FROM freqs ORDER BY cnt DESC, token ASC LIMIT {v}
+),
+total AS (SELECT SUM(cnt) AS total FROM freqs)
+SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+       token, cnt, df,
+       ((SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         * {PPM}) // total)::BIGINT AS cum_cov_ppm
+FROM top, total
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = top_vocab(word_frequencies(d), v=DEFAULT_V)
+    return tfidf_top_terms(d, vocab, k=DEFAULT_K)
+
+
+def oracle_tfidf_top_terms_sql(v: int = DEFAULT_V, k: int = DEFAULT_K) -> str:
+    return f"""
+WITH {_TOKEN_CTE.strip()},
+top AS (
+    SELECT * FROM freqs ORDER BY cnt DESC, token ASC LIMIT {v}
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+idf AS (
+    SELECT token, (n_docs * {PPM}) // df AS idf_micro FROM top, nd
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+scored AS (
+    SELECT tf.doc_id, tf.token AS term, tf.tf,
+           tf.tf * idf.idf_micro AS score
+    FROM tf JOIN idf ON idf.token = tf.token
+),
+ranked AS (
+    SELECT doc_id, term, tf, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {k}
+"""
