@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_novel_retraction": bloom.q_bloom_novel_retraction,
         "robots_filter": robots.q_robots_filter,
         "html_links": links.q_html_links,
+        "html_anchor_terms": links.q_html_anchor_terms,
         "link_graph_degrees": links.q_link_graph_degrees,
         "link_pagerank": links.q_link_pagerank,
         "warc_html_extract": warc.q_warc_html_extract,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_incremental": boilerplate.oracle_boilerplate_incremental_sql(),
         "dedup_survivors_quality": clusters.oracle_dedup_survivors_quality_sql(),
         "vocab_top_words": vocab.oracle_vocab_top_words_sql(),
+        "html_anchor_terms": links.oracle_html_anchor_terms_sql(),
         "tfidf_top_terms": vocab.oracle_tfidf_top_terms_sql(),
         "warc_ingest_clean": warc.oracle_warc_clean_sql(),
         # split reader must invert the generator exactly like the

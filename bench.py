@@ -673,6 +673,17 @@ def build_queries(spark, sf_dir: str, factor: int):
         edges = link_edges_from(wp().select("doc_id", "source"))
         return force(pagerank_int(edges, iterations=3))
 
+    def q_anchor_terms():
+        # anchor-text aggregation at 1M pages (~3M kept anchors):
+        # scan-fused double extract + zip explode, one (domain, term)
+        # partial-agg shuffle, top-5 window over the aggregated table
+        from xjs.pipeline.links import (
+            anchor_pages_from, anchor_text_terms, html_anchor_pairs,
+        )
+
+        return force(anchor_text_terms(html_anchor_pairs(
+            anchor_pages_from(wp().select("doc_id", "source"))), k=5))
+
     def q_vocab_top_words():
         # tokenizer-prep vocabulary: one token-explode partial-agg
         # over 1M page docs, TakeOrderedAndProject top-1000 cut,
@@ -770,6 +781,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "robots_filter": q_robots_filter,
         "html_links": q_html_links,
         "link_pagerank": q_link_pagerank,
+        "html_anchor_terms": q_anchor_terms,
         "vocab_top_words": q_vocab_top_words,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dynamic_json_udf": q_dynamic_udf,

@@ -143,3 +143,77 @@ def test_pagerank_query_matches_unrolled_oracle(spark, sf_dir):
     hub = [v for k, v in scores.items() if "//hub" in k]
     page = [v for k, v in scores.items() if "//hub" not in k]
     assert sum(hub) / len(hub) > sum(page) / len(page)
+
+
+def test_anchor_pairs_alignment_and_drops(spark):
+    """Each kept href pairs with ITS OWN anchor text (positional zip of
+    the two extract passes); nested-tag anchors and junk hrefs drop."""
+    from xjs.pipeline.links import html_anchor_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/doc/1",
+          "<a href=\"/x\">first text</a>"
+          "<a href=\"#frag\">dropped by href</a>"
+          "<A HREF='https://b.com/y'>second text</A>"
+          "<a href=\"/nested\"><b>bold</b></a>"       # nested tag: drop
+          "<a href=\"/empty\"></a>")],                 # kept, empty anchor
+        "doc_id long, url string, html string",
+    )
+    rows = sorted(
+        (r["link"], r["anchor"])
+        for r in html_anchor_pairs(docs).collect())
+    assert rows == [
+        ("https://a.example.com/empty", ""),
+        ("https://a.example.com/x", "first text"),
+        ("https://b.com/y", "second text"),
+    ]
+
+
+def test_anchor_pairs_plan_zero_exchange(spark, sf_dir):
+    from xjs.pipeline.links import anchor_pages_from, html_anchor_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    df = html_anchor_pairs(anchor_pages_from(d))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anchor_terms_topk_semantics(spark):
+    from xjs.pipeline.links import anchor_text_terms
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "u", "https://d.com/a", "alpha beta"),
+            (2, "u", "https://d.com/b", "alpha  gamma"),
+            (3, "u", "https://d.com/c", "alpha beta"),
+            (4, "u", "https://e.com/a", "   "),        # blank: no terms
+            (5, "u", "https://e.com/b", "solo"),
+        ],
+        "doc_id long, url string, link string, anchor string",
+    )
+    out = anchor_text_terms(pairs, k=2).collect()
+    d = {(r["target_domain"], r["rank"]): (r["term"], r["cnt"]) for r in out}
+    assert d[("d.com", 1)] == ("alpha", 3)
+    assert d[("d.com", 2)] == ("beta", 2)    # beats gamma on cnt
+    assert d[("e.com", 1)] == ("solo", 1)
+    assert ("e.com", 2) not in d
+    assert len(out) == 3
+
+
+def test_anchor_terms_match_constructive_oracle(spark, sf_dir):
+    from xjs.pipeline.links import (
+        oracle_html_anchor_terms_sql, q_html_anchor_terms,
+    )
+
+    mine = q_html_anchor_terms(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    ora = con.sql(oracle_html_anchor_terms_sql()).df()
+    key = ["target_domain", "rank"]
+    a = mine.sort_values(key).reset_index(drop=True)
+    b = ora.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["term"].values == b["term"].values).all()
+    assert (a["cnt"].astype(int).values == b["cnt"].astype(int).values).all()

@@ -301,3 +301,151 @@ SELECT regexp_extract(link, '^https?://([^/]+)', 1) AS target_domain,
 FROM links
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# anchor text: extraction + per-target-domain term aggregation
+# ---------------------------------------------------------------------------
+
+#: (href, anchor) pairs.  Anchor contract (exact, RE2-compatible, no
+#: backreferences): the element's IMMEDIATE text — anchors whose
+#: content contains any nested tag (`<`) are dropped, documented
+#: limitation (same naive-tag tier as html.extract_text).
+ANCHOR_RE = r"""(?i)<a\b[^>]*href\s*=\s*["']([^"']*)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchor_pairs_col(url: Column, html: Column) -> Column:
+    """Array of (link, anchor) structs under the same keep/resolve
+    rules as ``extract_links_col``; two regexp_extract_all passes over
+    the SAME pattern align positionally, so zip_with pairs each href
+    with its own anchor text."""
+    hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2)
+    origin = F.regexp_extract(url, r"^(https?://[^/]+)", 1)
+    pairs = F.zip_with(
+        hrefs, texts,
+        lambda h, t: F.struct(
+            F.when(h.rlike("^https?://"), h)
+            .when(h.startswith("/") & ~h.startswith("//"),
+                  F.concat(origin, h))
+            .otherwise(F.lit(None)).alias("link"),
+            t.alias("anchor"),
+        ),
+    )
+    return F.filter(pairs, lambda p: p.getField("link").isNotNull())
+
+
+def html_anchor_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, url, link, anchor) — one row per kept anchor element.
+    Scan-fused: regexp_extract_all x2 + zip_with + explode, zero
+    shuffle, output proportional to anchor count."""
+    p = F.explode(
+        extract_anchor_pairs_col(F.col(url_col), F.col(html_col))
+    ).alias("p")
+    return (df.filter(F.col(html_col).isNotNull())
+            .select(id_col, url_col, p)
+            .select(id_col, url_col,
+                    F.col("p.link").alias("link"),
+                    F.col("p.anchor").alias("anchor")))
+
+
+def anchor_text_terms(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """(target_domain, term, cnt, rank): the top-``k`` whitespace
+    anchor terms pointing at each target domain — the classic
+    anchor-text relevance signal (what the web calls a page).
+
+    Scale shape: one narrow term explode + ONE partial-agg shuffle on
+    (domain, term) — hub domains are hot but partials absorb them
+    map-side; the top-k window runs over the AGGREGATED (domain, term)
+    table partitioned by domain, never over raw anchor rows."""
+    from pyspark.sql import Window
+
+    dst = F.regexp_extract("link", r"^https?://([^/]+)", 1)
+    terms = (pairs
+             .filter(F.length(F.trim("anchor")) > 0)
+             .select(dst.alias("target_domain"),
+                     F.explode(F.split(F.trim("anchor"), r"\s+"))
+                     .alias("term"))
+             .groupBy("target_domain", "term")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("target_domain").orderBy(
+        F.col("cnt").desc(), F.col("term").asc())
+    return (terms.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def anchor_pages_from(d: DataFrame) -> DataFrame:
+    """(doc_id, url, html): pages whose anchors are pure formulas of
+    (doc_id, source) — three kept anchors plus a nested-tag anchor and
+    a fragment href that must be dropped.  The DuckDB oracle restates
+    the FORMULAS (never parses html), so a green row proves the
+    extractor inverts this builder."""
+    doc_id, src = F.col("doc_id"), F.col("source")
+    url = F.concat(F.lit("https://"), src, F.lit(".example.com/doc/"),
+                   doc_id.cast("string"))
+    page = F.concat(
+        F.lit("<html><body><a href=\"/doc/"),
+        (doc_id + 7).cast("string"),
+        F.lit("\">next page "), F.pmod(doc_id, F.lit(5)).cast("string"),
+        F.lit("</a> <A HREF='https://"), src,
+        F.lit(".example.com/doc/"), (doc_id * 2).cast("string"),
+        F.lit("'>visit "), src,
+        F.lit("</A> <a class=\"x\" href=\"https://hub"),
+        F.pmod(doc_id, F.lit(3)).cast("string"),
+        F.lit(".example.com/t/"), F.pmod(doc_id, F.lit(50)).cast("string"),
+        F.lit("\">hub topic "), F.pmod(doc_id, F.lit(50)).cast("string"),
+        F.lit("</a> <a href=\"/nested\"><b>bold</b></a>"
+              " <a href=\"#frag\">skip me</a></body></html>"),
+    )
+    html = F.when(doc_id % 211 == 0, F.lit(None).cast("string")) \
+        .otherwise(page)
+    return d.select(doc_id, url.alias("url"), html.alias("html"))
+
+
+def q_html_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    return anchor_text_terms(html_anchor_pairs(anchor_pages_from(d)), k=5)
+
+
+def oracle_html_anchor_terms_sql(k: int = 5) -> str:
+    # the three kept anchors' terms restated as formulas; the
+    # nested-tag and fragment anchors never appear
+    return f"""
+WITH pages AS (
+    SELECT doc_id, source FROM documents WHERE doc_id % 211 != 0
+),
+terms AS (
+    SELECT source || '.example.com' AS target_domain, 'next' AS term FROM pages
+    UNION ALL
+    SELECT source || '.example.com', 'page' FROM pages
+    UNION ALL
+    SELECT source || '.example.com', (doc_id % 5)::VARCHAR FROM pages
+    UNION ALL
+    SELECT source || '.example.com', 'visit' FROM pages
+    UNION ALL
+    SELECT source || '.example.com', source FROM pages
+    UNION ALL
+    SELECT 'hub' || (doc_id % 3) || '.example.com', 'hub' FROM pages
+    UNION ALL
+    SELECT 'hub' || (doc_id % 3) || '.example.com', 'topic' FROM pages
+    UNION ALL
+    SELECT 'hub' || (doc_id % 3) || '.example.com',
+           (doc_id % 50)::VARCHAR FROM pages
+),
+counts AS (
+    SELECT target_domain, term, COUNT(*) AS cnt
+    FROM terms GROUP BY target_domain, term
+)
+SELECT target_domain, term, cnt, rank FROM (
+    SELECT target_domain, term, cnt,
+           ROW_NUMBER() OVER (PARTITION BY target_domain
+                              ORDER BY cnt DESC, term ASC) AS rank
+    FROM counts)
+WHERE rank <= {k}
+"""
