@@ -673,6 +673,25 @@ def build_queries(spark, sf_dir: str, factor: int):
         edges = link_edges_from(wp().select("doc_id", "source"))
         return force(pagerank_int(edges, iterations=3))
 
+    def q_crawl_diff():
+        # snapshot delta at 1M urls x 2 crawls: the suite's big-big
+        # shuffle join — both sides project to (url, digest) first so
+        # the Exchange carries 48-byte rows, never page text; output
+        # is churn-proportional (~39% of urls at the fixture rates)
+        from xjs.pipeline.diff import crawl_diff
+
+        d = wp().select("doc_id", "source", "text")
+        url = F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.com/doc/"),
+                       F.col("doc_id").cast("string"))
+        old = d.select(url.alias("url"), "text")
+        new = (d.filter(F.col("doc_id") % 7 != 0)
+               .select(url.alias("url"),
+                       F.when(F.col("doc_id") % 5 == 0,
+                              F.concat(F.col("text"), F.lit(" [updated]")))
+                       .otherwise(F.col("text")).alias("text")))
+        return force(crawl_diff(old, new))
+
     def q_anchor_terms():
         # anchor-text aggregation at 1M pages (~3M kept anchors):
         # scan-fused double extract + zip explode, one (domain, term)
@@ -781,6 +800,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "robots_filter": q_robots_filter,
         "html_links": q_html_links,
         "link_pagerank": q_link_pagerank,
+        "crawl_diff": q_crawl_diff,
         "html_anchor_terms": q_anchor_terms,
         "vocab_top_words": q_vocab_top_words,
         "tfidf_top_terms": q_tfidf_top_terms,
