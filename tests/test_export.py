@@ -206,3 +206,38 @@ def test_null_id_propagates_to_null_key(spark):
         "doc_id", shard_key(F.col("doc_id")).alias("k")).collect()}
     assert rows[1] is not None
     assert rows[None] is None
+
+
+def test_write_shards_jsonl_roundtrip_and_assignment(spark, tmp_path):
+    """JSONL sink: same shard assignment as the parquet sink, lines
+    parse back byte-faithfully (incl. unicode + null), no plumbing
+    columns in the payload."""
+    import json as _json
+
+    from xjs.pipeline.export import shard_assign, write_shards_jsonl
+
+    docs = spark.createDataFrame(
+        [(1, "plain"), (2, "unicode é中"), (3, None),
+         (4, "tab\tand \"quote\"")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "jsonl")
+    write_shards_jsonl(docs, out, n_shards=3, seed=7)
+    back = spark.read.text(out, pathGlobFilter="*.txt", recursiveFileLookup=False)
+    # read with partition discovery so shard_id comes back
+    back = spark.read.format("text").load(out)
+    rows = back.select("shard_id", "value").collect()
+    parsed = {}
+    for r in rows:
+        d = _json.loads(r["value"])
+        parsed[d["doc_id"]] = (int(r["shard_id"]), d.get("text"))
+    want = {r["doc_id"]: r["shard_id"] for r in
+            shard_assign(docs, n_shards=3, seed=7).collect()}
+    assert {k: v[0] for k, v in parsed.items()} == want
+    assert parsed[2][1] == "unicode é中"
+    assert parsed[4][1] == "tab\tand \"quote\""
+    # null field: to_json drops null keys — absent means NULL
+    assert parsed[3][1] is None
+    # payload carries data only (no _key / shard_id duplicated inside)
+    sample = _json.loads(rows[0]["value"])
+    assert set(sample.keys()) <= {"doc_id", "text"}

@@ -229,3 +229,40 @@ SELECT doc_id, (p // {SHARD_SIZE})::INT AS shard_id,
        (p % {SHARD_SIZE})::INT AS pos_in_shard
 FROM pos
 """
+
+
+def write_shards_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int = N_SHARDS,
+    seed: int = SEED,
+    id_col: str | list[str] = "doc_id",
+) -> None:
+    """Materialize hash-mod shards as newline-delimited JSON — the
+    delivery format most training loaders consume directly (the read
+    side of sources/jsonl.py, so the round trip is in-repo).  Same
+    assignment + within-shard order as ``write_shards``; each line is
+    ``to_json`` of the payload struct in input column order, written
+    through the text sink so the bytes are exactly the JSON lines
+    (no writer-added columns).  The shard key is NOT emitted into the
+    payload — a delivery file carries data, not shuffle plumbing;
+    ordering inside a shard is still the key order (sortWithin
+    before the projection, narrow)."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
+    payload = df.columns
+    keyed = df.withColumn(
+        "_key", shard_key(*[F.col(c) for c in ids], seed=seed)
+    ).withColumn(
+        "shard_id", (_key60(F.col("_key")) % n_shards).cast("int")
+    )
+    (
+        keyed.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "_key", *ids)
+        .select(
+            "shard_id",
+            F.to_json(F.struct(*[F.col(c) for c in payload])).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .text(path)
+    )
