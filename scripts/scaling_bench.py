@@ -51,7 +51,7 @@ spark = (
 )
 mode = {mode!r}
 if mode in ("scan", "pipeline", "dedup", "export", "incr", "ingest",
-            "ingest_split"):
+            "ingest_split", "join"):
     sys.path.insert(0, {repo!r} + "")
     from bench import materialize
     wp_path = materialize(spark, {sf_dir!r}, {factor})
@@ -166,6 +166,30 @@ elif mode == "ingest_split":
         clean, _ = split_clean_quarantine(
             read_warc_wet_split(spark, warcbig, 8 << 20))
         return force(clean).count()
+elif mode == "join":
+    # big-big co-partitioned join shape: crawl snapshot diff.  Both
+    # sides are corpus-sized (no broadcast possible); each is
+    # projected to (url, md5 digest) BEFORE the shuffle, so the
+    # Exchange carries 48-byte rows and the full-outer SMJ is pure
+    # join machinery — the shape a 100 TB recrawl delta runs as
+    from bench import force
+    from pyspark.sql import functions as F
+    from xjs.pipeline.diff import crawl_diff
+
+    d = wp.select("doc_id", "source", "text")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    old = d.select(url.alias("url"), "text")
+    new = (d.filter(F.col("doc_id") % 7 != 0)
+           .select(url.alias("url"),
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.concat(F.col("text"), F.lit(" [updated]")))
+                   .otherwise(F.col("text")).alias("text")))
+    n_d = d.count()  # warm-up
+
+    def measured():
+        return force(crawl_diff(old, new)).count()
 elif mode == "pipeline":
     # pipeline-op shape: boilerplate detection — the Arrow gram cutter
     # (compute-bound mapInPandas, needs executorEnv.PYTHONPATH on the
@@ -206,7 +230,7 @@ spark.stop()
 def run(n_exec: int, sf_dir: str, factor: int, mode: str) -> dict:
     # the pipeline/dedup shapes run 45-110s per rep at 4 cores — 2
     # reps keeps the battery affordable (their samples are tight)
-    reps = 2 if mode in ("pipeline", "dedup", "incr", "ingest") else 3
+    reps = 2 if mode in ("pipeline", "dedup", "incr", "ingest", "join") else 3
     code = JOB.format(
         repo=str(REPO), n_exec=n_exec, sf_dir=sf_dir, factor=factor,
         mode=mode, reps=reps,
@@ -237,6 +261,8 @@ def one_experiment(sf_dir: str, factor: int, mode: str) -> dict:
         "ingest": "WARC/WET gzip-member shard parse + clean/quarantine split",
         "ingest_split": "WARC parse of 4 OVERSIZED shards via byte-range "
                         "splitter (file grain would cap at 4 tasks)",
+        "join": "crawl snapshot diff (big-big full-outer url join, "
+                "digests-only shuffle)",
     }.get(mode, f"flagship violations pass ({mode})")
     out = {
         "job": job,
@@ -271,7 +297,7 @@ def main() -> None:
     target = 0.8
 
     shapes = ("derive", "scan", "pipeline", "dedup", "export", "incr",
-              "ingest", "ingest_split")
+              "ingest", "ingest_split", "join")
     factors = {
         "derive": int(os.environ.get("XJS_SCALE_FACTOR_DERIVE", "1000")),
         "scan": int(os.environ.get("XJS_SCALE_FACTOR_SCAN", "4000")),
@@ -291,6 +317,10 @@ def main() -> None:
         # ranges, so the 4->16 core step has work to spread
         "ingest_split": int(
             os.environ.get("XJS_SCALE_FACTOR_INGEST_SPLIT", "400")),
+        # 20M urls x 2 snapshots (reuses the scan shape's materialized
+        # parquet): sizes the 4-core full-outer join well clear of the
+        # scheduling floor
+        "join": int(os.environ.get("XJS_SCALE_FACTOR_JOIN", "4000")),
     }
     # XJS_SCALE_SHAPES=dedup re-measures one noisy shape; the rest come
     # from BENCH/scaling_best.json (a shape not measured AND not stored
@@ -320,7 +350,7 @@ def main() -> None:
         out["loadavg_after"] = round(os.getloadavg()[0], 2)
         return out
 
-    gate_shapes = ("derive", "scan", "pipeline", "export", "incr",
+    gate_shapes = ("derive", "scan", "pipeline", "export", "incr", "join",
                    "ingest", "ingest_split")  # dedup = diagnostic
     # retry only on shapes actually being RE-MEASURED (ADVICE r3): a
     # stored below-target shape outside run_shapes can't improve, so
@@ -364,12 +394,13 @@ def main() -> None:
                                            best["export"], best["incr"])
     ing = best["ingest"]
     isp = best["ingest_split"]
+    jn = best["join"]
     ambient = f"{best['loadavg_before']} -> {best['loadavg_after']}"
     # headline = the compute-shape (engine behavior); the scan shape
     # shares ONE local disk/page cache across all executors, which a
     # real cluster does not — reported as a secondary data point
     result = {"experiments": [derive, scan, pipe, dedup, exp, inc, ing,
-                              isp],
+                              isp, jn],
               "headline_efficiency": derive["scaling_efficiency"],
               "pass": derive["pass"],
               "ambient_loadavg": ambient}
@@ -382,6 +413,7 @@ def main() -> None:
     ilo, ihi, ieff = inc["N_executors"], inc["4N_executors"], inc["scaling_efficiency"]
     glo, ghi, geff = ing["N_executors"], ing["4N_executors"], ing["scaling_efficiency"]
     slo, shi, seff = isp["N_executors"], isp["4N_executors"], isp["scaling_efficiency"]
+    jlo, jhi, jeff = jn["N_executors"], jn["4N_executors"], jn["scaling_efficiency"]
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -513,6 +545,20 @@ step still has work to spread:
 | local-cluster[4,4] (4N)  | 16 | {shi['sec']} | {shi['docs_per_sec']:,} |
 
 **efficiency = {seff}** (target ≥ 0.8: {"PASS" if seff >= 0.8 else "FAIL"})
+
+**J. crawl snapshot diff — the big-big join (r5 cont.6)** — two
+corpus-sized snapshots ({jlo['n_docs']:,} urls each side), neither
+broadcastable: both are projected to (url, md5 digest) BEFORE the
+shuffle, so the full-outer sort-merge join moves 48-byte rows and the
+shape isolates pure co-partitioned join machinery — the one shuffle
+class shapes A-H don't cover:
+
+| config | cores | wall sec | urls/sec |
+|---|---|---|---|
+| local-cluster[1,4] (N)   | 4  | {jlo['sec']} | {jlo['docs_per_sec']:,} |
+| local-cluster[4,4] (4N)  | 16 | {jhi['sec']} | {jhi['docs_per_sec']:,} |
+
+**efficiency = {jeff}** (target ≥ 0.8: {"PASS" if jeff >= 0.8 else "FAIL"})
 
 Shape B is the headline metric: it isolates ENGINE scaling.  Shape A
 funnels all executors through one local disk + page cache, a
