@@ -49,6 +49,7 @@ from xjs.pipeline import (  # noqa: E402
     multimodal,
     packing,
     pii,
+    quality_model,
     robots,
     sampling,
     select,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": links.q_html_links,
         "html_anchor_terms": links.q_html_anchor_terms,
         "crawl_diff": diff.q_crawl_diff,
+        "quality_classifier": quality_model.q_quality_classifier,
         "link_graph_degrees": links.q_link_graph_degrees,
         "link_pagerank": links.q_link_pagerank,
         "warc_html_extract": warc.q_warc_html_extract,
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_words": vocab.oracle_vocab_top_words_sql(),
         "html_anchor_terms": links.oracle_html_anchor_terms_sql(),
         "crawl_diff": diff.oracle_crawl_diff_sql(),
+        "quality_classifier": quality_model.oracle_quality_classifier_sql(),
         "tfidf_top_terms": vocab.oracle_tfidf_top_terms_sql(),
         "warc_ingest_clean": warc.oracle_warc_clean_sql(),
         # split reader must invert the generator exactly like the

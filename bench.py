@@ -673,6 +673,13 @@ def build_queries(spark, sf_dir: str, factor: int):
         edges = link_edges_from(wp().select("doc_id", "source"))
         return force(pagerank_int(edges, iterations=3))
 
+    def q_quality_classifier():
+        # classifier gate at 1M docs: token explode + B-row broadcast
+        # weight probe + doc-keyed partial-agg sum, id-only join-back
+        from xjs.pipeline.quality_model import classifier_gate
+
+        return force(classifier_gate(wp().select("doc_id", "text")))
+
     def q_crawl_diff():
         # snapshot delta at 1M urls x 2 crawls: the suite's big-big
         # shuffle join — both sides project to (url, digest) first so
@@ -800,6 +807,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "robots_filter": q_robots_filter,
         "html_links": q_html_links,
         "link_pagerank": q_link_pagerank,
+        "quality_classifier": q_quality_classifier,
         "crawl_diff": q_crawl_diff,
         "html_anchor_terms": q_anchor_terms,
         "vocab_top_words": q_vocab_top_words,
