@@ -476,6 +476,19 @@ def build_queries(spark, sf_dir: str, factor: int):
             )
         )
 
+    def q_c4_clean():
+        # C4 line rules over the MULTI-LINE page corpus (the line-dedup
+        # fixture — the shape whose line splits/filters cost something):
+        # pure scan-fused projection, so force() keeps the ledger live
+        from xjs.pipeline.heuristics import c4_stats
+
+        return force(c4_stats(spark.read.parquet(line_path)))
+
+    def q_gopher_gate():
+        from xjs.pipeline.heuristics import gopher_features
+
+        return force(gopher_features(spark.read.parquet(line_path)))
+
     def q_html_extract():
         # HTML -> text extraction contract over 1M wrapper pages: a
         # scan-fused regexp_replace chain, zero shuffle; force() keeps
@@ -794,6 +807,8 @@ def build_queries(spark, sf_dir: str, factor: int):
         "export_shards": q_export_shards,
         "export_shards_sized": q_export_shards_sized,
         "mixture_sample": q_mixture,
+        "c4_clean": q_c4_clean,
+        "gopher_gate": q_gopher_gate,
         "html_extract": q_html_extract,
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_5gram": q_lm_perplexity_5gram,
