@@ -266,3 +266,128 @@ def write_shards_jsonl(
         .partitionBy("shard_id")
         .text(path)
     )
+
+
+def write_shards_wet(
+    df: DataFrame,
+    path: str,
+    n_shards: int = N_SHARDS,
+    seed: int = SEED,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    ts_col: str | None = None,
+    date: str = "2024-01-01T00:00:00Z",
+) -> dict[int, int]:
+    """Materialize hash-mod shards as WET shards (ISO 28500
+    ``conversion`` records, one gzip member per record) — the format
+    the crawl ecosystem itself consumes, closing the read/write
+    symmetry with sources/warc.py: what this writes, ``read_warc_wet``
+    AND the byte-range split reader parse back exactly (round-trip
+    test-pinned), because per-record gzip members are precisely what
+    makes mid-shard splits possible downstream.
+
+    Same seeded assignment + within-shard key order as the parquet and
+    JSONL sinks.  Framing goes through the same ``_record_bytes`` the
+    fixture writer uses (single source of framing truth); gzip is
+    pinned (compresslevel=1, mtime=0) so rebuilds are byte-identical.
+
+    Ledger-faithful nulls: a NULL url row is written WITHOUT a
+    WARC-Target-URI header — on read it lands in quarantine as
+    ``missing_uri`` instead of silently mutating into an empty-string
+    url; NULL text becomes an empty payload.
+
+    Scale shape: ONE shuffle (the shard repartition), then a
+    sequential per-partition writer inside ``mapInPandas`` whose
+    memory is one Arrow batch — a shard never materializes in memory.
+    The returned manifest dict {shard_id: n_docs} is bounded by
+    n_shards (the checkpoint-manifest boundedness class), with
+    intentionally-empty shards present at 0.  The path must be a
+    filesystem every executor mounts (local/NFS here; a DFS mount on
+    a real cluster)."""
+    import gzip
+    import os
+
+    from xjs.sources.warc import _record_bytes
+
+    os.makedirs(path, exist_ok=True)
+    cols = ["shard_id", "_key", id_col, url_col, text_col]
+    if lang_col:
+        cols.append(lang_col)
+    if ts_col:
+        cols.append(ts_col)
+    keyed = (
+        df.withColumn("_key", shard_key(F.col(id_col), seed=seed))
+        .withColumn("shard_id", (_key60(F.col("_key")) % n_shards).cast("int"))
+        .select(*cols)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "_key", id_col)
+    )
+
+    def write(batches):
+        import pandas as pd
+
+        state = {"sid": None, "fh": None, "n": 0}
+        counts: list[tuple[int, int]] = []
+
+        def close():
+            if state["fh"] is not None:
+                state["fh"].close()
+                counts.append((state["sid"], state["n"]))
+                state["fh"] = None
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                sid = int(r.shard_id)
+                if sid != state["sid"] or state["fh"] is None:
+                    close()
+                    state.update(sid=sid, n=0)
+                    state["fh"] = open(
+                        os.path.join(path, f"shard-{sid:05d}.warc.gz"), "wb"
+                    )
+                rid = getattr(r, id_col)
+                url = getattr(r, url_col)
+                txt = getattr(r, text_col)
+                headers = [
+                    ("WARC-Type", "conversion"),
+                    ("WARC-Record-ID", f"<urn:xjs:doc:{rid}>"),
+                ]
+                if url is not None and not (
+                    isinstance(url, float) and url != url
+                ):
+                    headers.append(("WARC-Target-URI", str(url)))
+                if ts_col:
+                    ts = getattr(r, ts_col)
+                    headers.append(
+                        ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ"))
+                    )
+                else:
+                    headers.append(("WARC-Date", date))
+                if lang_col:
+                    lang = getattr(r, lang_col)
+                    headers.append(
+                        ("WARC-Identified-Content-Language",
+                         "" if lang is None else str(lang))
+                    )
+                headers.append(("Content-Type", "text/plain"))
+                payload = (txt if isinstance(txt, str) else "").encode("utf-8")
+                rec = _record_bytes(headers, payload)
+                state["fh"].write(
+                    gzip.compress(rec, compresslevel=1, mtime=0)
+                )
+                state["n"] += 1
+        close()
+        if counts:
+            yield pd.DataFrame(
+                {"shard_id": [c for c, _ in counts],
+                 "n_docs": [m for _, m in counts]}
+            )
+
+    rows = keyed.mapInPandas(write, "shard_id int, n_docs long").collect()
+    manifest = {i: 0 for i in range(n_shards)}
+    for r in rows:  # bounded: <= n_shards rows
+        manifest[r.shard_id] = manifest.get(r.shard_id, 0) + r.n_docs
+    with open(os.path.join(path, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    return manifest
