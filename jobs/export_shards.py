@@ -39,18 +39,59 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output dir")
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--format", choices=["parquet", "jsonl", "wet"], default="parquet",
+        help="delivery format: parquet shard dirs (default), JSONL "
+             "lines, or WET crawl shards (one gzip member per record, "
+             "round-trippable through xjs.sources.warc)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("xjs-export-shards").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    from xjs.pipeline.export import write_manifest, write_shards
+    from xjs.pipeline.export import (
+        write_manifest,
+        write_shards,
+        write_shards_jsonl,
+        write_shards_wet,
+    )
 
     t0 = time.time()
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
-    write_shards(docs, f"{args.out}/shards", args.n_shards, args.seed)
-    write_manifest(spark, f"{args.out}/shards", f"{args.out}/manifest",
-                   args.n_shards)
+    if args.format == "wet":
+        # delivery in the crawl ecosystem's own format; the sink
+        # returns the bounded {shard: n_docs} manifest directly
+        counts = write_shards_wet(
+            docs.withColumn(
+                "url",
+                F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".example.com/doc/"), F.col("doc_id")),
+            ),
+            f"{args.out}/shards", args.n_shards, args.seed,
+        )
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(counts.items())],
+            "shard_id int, n_docs long",
+        ).write.mode("overwrite").parquet(f"{args.out}/manifest")
+    elif args.format == "jsonl":
+        write_shards_jsonl(docs, f"{args.out}/shards", args.n_shards,
+                           args.seed)
+        back = spark.read.format("text").load(f"{args.out}/shards")
+        full = spark.range(args.n_shards).select(
+            F.col("id").cast("int").alias("shard_id"))
+        (
+            full.join(
+                back.groupBy("shard_id").agg(
+                    F.count(F.lit(1)).alias("n_docs")),
+                "shard_id", "left")
+            .select("shard_id", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
+            .write.mode("overwrite").parquet(f"{args.out}/manifest")
+        )
+    else:
+        write_shards(docs, f"{args.out}/shards", args.n_shards, args.seed)
+        write_manifest(spark, f"{args.out}/shards", f"{args.out}/manifest",
+                       args.n_shards)
 
     m = spark.read.parquet(f"{args.out}/manifest")
     sizes = [r["n_docs"] for r in m.collect()]  # n_shards rows — metadata
@@ -58,6 +99,7 @@ def main() -> None:
         json.dumps(
             {
                 "job": "export_shards",
+                "format": args.format,
                 "n_docs": int(sum(sizes)),
                 "n_shards": len(sizes),
                 "min_shard": int(min(sizes or [0])),
