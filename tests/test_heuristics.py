@@ -200,10 +200,21 @@ class TestGopher:
         assert kept == feats and len(kept) > 0
 
     def test_plan_zero_exchange(self, spark, sf_dir):
+        # default (arrow): one narrow MapInArrow stage, still no shuffle
         df = H.q_gopher_gate(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "MapInArrow" in plan
+        # catalyst builders: no Python worker at all
+        docs = H.gopher_corpus(spark, sf_dir)
+        for impl in ("native", "hof"):
+            p = (
+                H.gopher_features(docs, impl=impl)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" not in p
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+            assert "MapInArrow" not in p
 
 
 def test_fixture_determinism(spark, sf_dir):
@@ -213,3 +224,47 @@ def test_fixture_determinism(spark, sf_dir):
     c = H.c4_page_corpus(spark, sf_dir).orderBy("doc_id").collect()
     d = H.c4_page_corpus(spark, sf_dir).orderBy("doc_id").collect()
     assert c == d
+
+
+class TestGopherBuilders:
+    EDGE_DOCS = [
+        (1, ""),                               # empty
+        (2, "   \t  "),                        # whitespace only
+        (3, "the"),                            # single required word
+        (4, "xthe thex"),                      # substring, not a token
+        (5, "- bullet line\n* starred\n• dot\nplain"),
+        (6, "ends here...\n…\nno dots\ntail…"),
+        (7, "12ab 12 ab a1a ---"),             # alpha-word shapes
+        (8, "w....\nends....\nfour dots...."),  # '....' = one '...'
+        (9, "  -  spaced bullet\n\tnot a bullet (tab)"),
+        (10, "the\nof and that have with to be"),
+        (11, "a\n\n\nb"),                      # empty lines
+        (12, "## #... #"),
+        (13, None),                            # null text -> null features
+        (14, "a\xa0b the of"),                 # NBSP is NOT whitespace
+    ]
+
+    def test_builders_row_identical_edges(self, spark):
+        df = spark.createDataFrame(self.EDGE_DOCS, "doc_id long, text string")
+        ref = sorted(H.gopher_features(df, impl="hof").collect())
+        for impl in ("native", "arrow"):
+            got = sorted(H.gopher_features(df, impl=impl).collect())
+            assert got == ref, impl
+        # null text propagates null features + null keep in every impl
+        null_row = [r for r in ref if r.doc_id == 13][0]
+        assert null_row.n_words is None and null_row.keep is None
+        # NBSP stays inside the token: 'a\xa0b' is ONE 3-char word
+        nbsp = [r for r in ref if r.doc_id == 14][0]
+        assert nbsp.n_words == 3 and nbsp.word_chars == 3 + 3 + 2
+
+    def test_builders_row_identical_fixture(self, spark, sf_dir):
+        docs = H.gopher_corpus(spark, sf_dir)
+        ref = sorted(H.gopher_features(docs, impl="hof").collect())
+        for impl in ("native", "arrow"):
+            got = sorted(H.gopher_features(docs, impl=impl).collect())
+            assert got == ref, impl
+
+    def test_unknown_impl_raises(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            H.gopher_features(df, impl="nope")

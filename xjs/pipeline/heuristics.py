@@ -13,9 +13,14 @@ instead of ``n_sym/n_words <= 0.1``) so there is no floating point
 anywhere, the verdict is bit-stable, and the DuckDB oracle restates the
 same rules independently.
 
-Scale shape: both operators are ONE narrow scan-fused projection —
-zero Exchange, zero Python, zero UDF (plan-asserted in
-tests/test_heuristics.py).  At 100 TB they run at scan speed and
+Scale shape: both operators are ONE narrow zero-Exchange pass
+(plan-asserted in tests/test_heuristics.py).  C4 is a scan-fused
+Catalyst projection; the Gopher feature block defaults to an Arrow
+C++/numpy batch kernel (the grams.py pattern — one tokenization per
+batch feeds every feature) after the interleaved A/B showed the
+Catalyst forms tie each other at 8-10s/1M pages and the kernel runs
+them at 1.7s (5.7x, BENCH/ab_gopher_r5.json); 'hof' and 'native'
+remain selectable, all three equivalence-pinned.  At 100 TB both
 compose in front of the shuffle-bearing stages (dedup, export) exactly
 where a production pipeline puts its cheap gates: the filter prunes
 rows BEFORE anything pays a shuffle for them.
@@ -248,12 +253,175 @@ GOPHER_RULES = (
 )
 
 
+#: default feature builder — chosen by interleaved 1M-page A/B
+#: (BENCH/ab_gopher_r5.json); 'hof' is the array-semantics reference
+#: all builders are equivalence-pinned to
+BUILDER = "arrow"
+
+_FEATS = ("n_words", "word_chars", "n_sym", "n_lines", "bullet_lines",
+          "ellipsis_lines", "alpha_words", "stop_hits")
+
+
+def _gopher_catalyst_feats(df, id_col, text_col, impl):
+    """Catalyst feature builders: 'hof' (arrays + higher-order
+    filters — the readable reference; HOF lambdas are interpreted and
+    the words array is re-split per feature) and 'native' (every count
+    as a scan-fused regexp_count/rlike: words = \\S+ runs, alpha words
+    = \\S*[A-Za-z]\\S* non-overlapping matches — one per alpha-bearing
+    token since a match cannot cross whitespace; (?m) anchors for
+    bullet/ellipsis lines; whitespace-lookaround rlike per required
+    word).  Measured a TIE at 1M pages (8-10s both, interleaved,
+    BENCH/ab_gopher_r5.json): twelve Java-regex passes cost what the
+    array re-splits cost — the Arrow kernel (5.7x) is the fast path."""
+    t = F.col(text_col)
+    word_chars = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    n_sym = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("int")
+    if impl == "native":
+        n_words = F.regexp_count(t, F.lit(r"\S+"))
+        n_lines = F.regexp_count(t, F.lit("\n")) + 1
+        bullet = F.regexp_count(t, F.lit(r"(?m)^ *(?:- |\* |• )"))
+        ellipsis = F.regexp_count(t, F.lit(r"(?m)(?:\.\.\.|…)$"))
+        alpha = F.regexp_count(t, F.lit(r"\S*[A-Za-z]\S*"))
+        stop_hits = F.lit(0)
+        for w in REQUIRED_WORDS:
+            stop_hits = stop_hits + t.rlike(
+                rf"(?:^|\s){w}(?:\s|$)"
+            ).cast("int")
+    else:  # hof
+        words = _words(t)
+        n_words = F.size(words)
+        lines = F.split(t, "\n", -1)
+        n_lines = F.size(lines)
+        bullet = F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 2).isin(*_BULLETS),
+            )
+        )
+        ellipsis = F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(l, F.lit("...")) | F.endswith(l, F.lit("…")),
+            )
+        )
+        alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        stop_hits = F.lit(0)
+        for w in REQUIRED_WORDS:
+            stop_hits = stop_hits + F.array_contains(words, w).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_sym.alias("n_sym"),
+        n_lines.alias("n_lines"),
+        bullet.alias("bullet_lines"),
+        ellipsis.alias("ellipsis_lines"),
+        alpha.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+    )
+
+
+def _gopher_arrow_feats(df, id_col, text_col):
+    """Arrow C++/numpy feature kernel (the grams.py pattern): one
+    ``ascii_split_whitespace`` per batch (already proven Java-``\\s``
+    field-identical in grams.py), one '\\n' split, flat per-token /
+    per-line predicate arrays in C++, and exact empty-safe segment
+    sums via cumsum differences — zero per-doc Python, every feature
+    from ONE tokenization instead of one re-split (hof) or one regex
+    pass (native) per feature.  Null text -> all-null features, the
+    Catalyst builders' propagation."""
+    import pyarrow as pa
+
+    id_field = df.select(id_col).schema.fields[0]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        + ", ".join(f"{c} int" for c in _FEATS)
+    )
+    req = list(REQUIRED_WORDS)
+
+    def run(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        def seg_sum(values, offsets):
+            cs = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+            return cs[offsets[1:]] - cs[offsets[:-1]]
+
+        for batch in batches:
+            ids = batch.column(0)
+            text = batch.column(1)
+            null_mask = pc.is_null(text).to_numpy(zero_copy_only=False)
+            t = pc.fill_null(text, "")
+
+            words = pc.ascii_split_whitespace(t)
+            w_off = np.asarray(words.offsets)
+            if w_off.dtype != np.int64:
+                w_off = w_off.astype(np.int64)
+            flat_w = pc.list_flatten(words)
+            nonempty = pc.not_equal(flat_w, "").to_numpy(zero_copy_only=False)
+            n_words = seg_sum(nonempty, w_off)
+            wlen = pc.utf8_length(flat_w).to_numpy(zero_copy_only=False)
+            word_chars = seg_sum(wlen, w_off)
+            alpha_mask = pc.match_substring_regex(
+                flat_w, "[A-Za-z]"
+            ).to_numpy(zero_copy_only=False)
+            alpha = seg_sum(alpha_mask & nonempty, w_off)
+            stop_hits = np.zeros(len(t), dtype=np.int64)
+            for w in req:
+                hit = pc.equal(flat_w, w).to_numpy(zero_copy_only=False)
+                stop_hits += seg_sum(hit, w_off) > 0
+
+            lines = pc.split_pattern(t, pattern="\n")
+            l_off = np.asarray(lines.offsets)
+            if l_off.dtype != np.int64:
+                l_off = l_off.astype(np.int64)
+            flat_l = pc.list_flatten(lines)
+            n_lines = l_off[1:] - l_off[:-1]
+            led = pc.utf8_ltrim(flat_l, characters=" ")
+            b = None
+            for pre in _BULLETS:
+                m = pc.starts_with(led, pattern=pre)
+                b = m if b is None else pc.or_(b, m)
+            bullet = seg_sum(b.to_numpy(zero_copy_only=False), l_off)
+            e = pc.or_(
+                pc.ends_with(flat_l, pattern="..."),
+                pc.ends_with(flat_l, pattern="…"),
+            )
+            ellipsis = seg_sum(e.to_numpy(zero_copy_only=False), l_off)
+
+            n_sym = (
+                pc.count_substring(t, pattern="#").to_numpy(zero_copy_only=False)
+                + pc.count_substring(t, pattern="...").to_numpy(
+                    zero_copy_only=False
+                )
+            )
+
+            def col(v):
+                return pa.array(
+                    np.where(null_mask, 0, v).astype("int32"),
+                    mask=null_mask,
+                )
+
+            yield pa.RecordBatch.from_arrays(
+                [ids, col(n_words), col(word_chars), col(n_sym),
+                 col(n_lines), col(bullet), col(ellipsis), col(alpha),
+                 col(stop_hits)],
+                names=[id_col, *_FEATS],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(run, out_schema)
+
+
 def gopher_features(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_words: int = GOPHER_MIN_WORDS,
     max_words: int = GOPHER_MAX_WORDS,
+    impl: str | None = None,
 ) -> DataFrame:
     """Per-doc integer features + per-rule verdicts + the combined
     ``keep`` + ``fail_rules`` (comma-joined failing rule names in
@@ -261,36 +429,37 @@ def gopher_features(
     every ratio rule is cross-multiplied, so the DuckDB oracle
     bit-matches and the verdict cannot drift with float rounding.
 
-    ``sum(len(word))`` is computed as ``length(regexp_replace(trim(t),
-    '\\s+', ''))`` — strip every whitespace char from the trimmed text
-    and what remains is exactly the concatenation of the words.  That
-    keeps the char sum a scan-fused regex instead of a per-word
-    interpreted-HOF fold (the repo's thrice-measured 4-25x constant
-    factor lesson)."""
-    t = F.col(text_col)
-    words = _words(t)
-    n_words = F.size(words)
-    word_chars = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
-    n_sym = (
-        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
-    ).cast("int")
-    lines = F.split(t, "\n", -1)
-    n_lines = F.size(lines)
-    bullet = F.size(
-        F.filter(lines, lambda l: F.substring(F.ltrim(l), 1, 2).isin(*_BULLETS))
-    )
-    ellipsis = F.size(
-        F.filter(
-            lines,
-            lambda l: F.endswith(l, F.lit("...")) | F.endswith(l, F.lit("…")),
-        )
-    )
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    stop_hits = F.lit(0)
-    for w in REQUIRED_WORDS:
-        stop_hits = stop_hits + F.array_contains(words, w).cast("int")
+    THREE feature builders, row-identical (test-pinned across the
+    whitespace/bullet/ellipsis edge cases, null text, AND the driver
+    fixture), chosen by measured A/B — ``impl='hof'`` (the readable
+    array reference), ``impl='native'`` (scan-fused regexp_count —
+    measured a TIE with hof at 1M pages: twelve Java-regex passes cost
+    what the per-feature array re-splits cost), and ``impl='arrow'``
+    (default: the grams.py-pattern C++ kernel, ONE tokenization per
+    batch feeding every feature — see BENCH/ab_gopher_r5.json for the
+    measured ranking).  The rule layer on top is shared Catalyst.
 
+    ``sum(len(word))`` is the concatenated-token char count in every
+    builder (strip-all-whitespace regex / flat token-length segment
+    sum) — never a per-word interpreted-HOF fold (the repo's
+    thrice-measured lesson)."""
+    if impl is None:
+        impl = BUILDER
+    if impl == "arrow":
+        feats = _gopher_arrow_feats(df, id_col, text_col)
+    elif impl in ("hof", "native"):
+        feats = _gopher_catalyst_feats(df, id_col, text_col, impl)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    n_words = F.col("n_words")
+    word_chars = F.col("word_chars")
+    n_sym = F.col("n_sym")
+    n_lines = F.col("n_lines")
+    bullet = F.col("bullet_lines")
+    ellipsis = F.col("ellipsis_lines")
+    alpha = F.col("alpha_words")
+    stop_hits = F.col("stop_hits")
     rules = {
         "word_count": (n_words >= min_words) & (n_words <= max_words),
         "mean_word_len": (3 * n_words <= word_chars) & (word_chars <= 10 * n_words),
@@ -311,16 +480,9 @@ def gopher_features(
             ])
         ),
     )
-    return df.select(
+    return feats.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        word_chars.alias("word_chars"),
-        n_sym.alias("n_sym"),
-        n_lines.alias("n_lines"),
-        bullet.alias("bullet_lines"),
-        ellipsis.alias("ellipsis_lines"),
-        alpha.alias("alpha_words"),
-        stop_hits.alias("stop_hits"),
+        *_FEATS,
         keep.alias("keep"),
         fail.alias("fail_rules"),
     )
