@@ -38,6 +38,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="sf dir with documents.parquet")
     ap.add_argument("--out", required=True, help="output dir")
+    ap.add_argument(
+        "--gopher-gate", action="store_true",
+        help="apply the Gopher quality rules (Rae et al. 2021) after "
+             "the generic quality gate; rejects carry "
+             "'gopher:<first-failing-rule>'",
+    )
+    ap.add_argument(
+        "--c4-clean", action="store_true",
+        help="apply the C4 line rules (Raffel et al. 2020) to surviving "
+             "docs: retained lines replace the text, page-rule drops "
+             "carry 'c4:<reason>'",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("xjs-curate-corpus").getOrCreate()
@@ -82,7 +94,47 @@ def main() -> None:
     )
     kept_ids = feats.filter(quality_ok).select("doc_id", "n_tokens", "quality_score")
 
-    kept = docs.join(kept_ids, "doc_id").select(
+    rejects = exact_rej.unionByName(substr_rej).unionByName(bench_rej).unionByName(
+        contam_rej
+    ).unionByName(low_q_rej)
+
+    kept_docs = docs.join(kept_ids, "doc_id")
+    if args.gopher_gate:
+        from xjs.pipeline.heuristics import gopher_features
+
+        gf = gopher_features(kept_docs.select("doc_id", "text"))
+        rejects = rejects.unionByName(
+            gf.filter(~F.col("keep")).select(
+                "doc_id",
+                F.concat(
+                    F.lit("gopher:"), F.split("fail_rules", ",")[0]
+                ).alias("reason"),
+            )
+        )
+        kept_docs = kept_docs.join(
+            gf.filter("keep").select("doc_id"), "doc_id"
+        )
+    if args.c4_clean:
+        from xjs.pipeline.heuristics import c4_stats
+
+        cs = c4_stats(kept_docs.select("doc_id", "text"))
+        rejects = rejects.unionByName(
+            cs.filter(~F.col("keep")).select(
+                "doc_id",
+                F.concat(F.lit("c4:"), F.col("reason")).alias("reason"),
+            )
+        )
+        kept_docs = (
+            kept_docs.drop("text")
+            .join(
+                cs.filter("keep").select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+        )
+
+    kept = kept_docs.select(
         "doc_id",
         "lang",
         "source",
@@ -90,9 +142,6 @@ def main() -> None:
         "n_tokens",
         "quality_score",
     )
-    rejects = exact_rej.unionByName(substr_rej).unionByName(bench_rej).unionByName(
-        contam_rej
-    ).unionByName(low_q_rej)
 
     kept.write.mode("overwrite").parquet(f"{args.out}/corpus")
     rejects.write.mode("overwrite").parquet(f"{args.out}/rejects")
@@ -106,6 +155,7 @@ def main() -> None:
     n_in = docs.count()
     summary = {
         "job": "curate_corpus",
+        "gates": {"gopher": args.gopher_gate, "c4": args.c4_clean},
         "input_docs": n_in,
         "kept": n_kept,
         "rejects": reject_counts,
