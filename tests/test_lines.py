@@ -158,3 +158,65 @@ def test_retro_clean_any_slice_equals_batch_restriction(spark, sf_dir, tmp):
             batch.join(sl.select("doc_id"), "doc_id").collect()
         )
         assert got == want
+
+
+class TestParagraphGrain:
+    def test_paragraph_owner_and_removal(self, spark):
+        shared = "a shared paragraph body"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{shared}\n\nunique one"),
+                (2, f"prefix two\n\n{shared}"),
+                (3, f"{shared}\n\n{shared}"),
+            ],
+            "doc_id long, text string",
+        )
+        from xjs.pipeline.lines import (
+            duplicated_paragraphs,
+            paragraph_dedup_remove,
+        )
+
+        dups = {r.line_md5: r for r in duplicated_paragraphs(docs).collect()}
+        assert len(dups) == 1
+        d = next(iter(dups.values()))
+        assert d.n_lines == 4 and d.owner_doc == 1 and d.owner_line == 0
+        out = {r.doc_id: r.clean_text
+               for r in paragraph_dedup_remove(docs).collect()}
+        # owner occurrence (doc 1, para 0) survives; all others removed
+        assert out[1] == f"{shared}\n\nunique one"
+        assert out[2] == "prefix two"
+        assert out[3] == ""
+        # single newlines are NOT paragraph breaks
+        docs2 = spark.createDataFrame(
+            [(1, f"{shared}\nnot a break"), (2, f"{shared}\nnot a break")],
+            "doc_id long, text string",
+        )
+        d2 = duplicated_paragraphs(docs2).collect()
+        assert len(d2) == 1  # the whole two-line text is ONE paragraph
+
+    def test_sep_split_edge_byte_faithful(self, spark):
+        # 'a\n\n\nb': the \n\n match is non-overlapping left-to-right,
+        # leaving '\nb' — split+rejoin must reproduce the bytes
+        from xjs.pipeline.lines import line_dedup_remove
+
+        docs = spark.createDataFrame(
+            [(1, "a\n\n\nb"), (2, "c\n\nd")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.clean_text
+               for r in line_dedup_remove(docs, sep="\n\n").collect()}
+        assert out[1] == "a\n\n\nb" and out[2] == "c\n\nd"
+
+    def test_sep_default_matches_line_functions(self, spark):
+        from xjs.pipeline import lines as L
+
+        docs = spark.createDataFrame(
+            [(i, f"shared line one\nuniq {i}\nshared line two")
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        a = sorted(L.duplicated_lines(docs).collect())
+        b = sorted(L.duplicated_lines(docs, sep="\n").collect())
+        assert a == b
+        ra = sorted(L.line_dedup_remove(docs).collect())
+        rb = sorted(L.line_dedup_remove(docs, sep="\n").collect())
+        assert ra == rb

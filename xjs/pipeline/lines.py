@@ -40,6 +40,8 @@ oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,19 +54,24 @@ _OWNER_ENC = 1_000_000  # owner key = doc_id * ENC + line_no; holds while
 
 
 def line_rows(df: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(id, line_no, line): 0-based line explosion, trailing empties
-    kept (split limit -1) so reassembly is byte-faithful."""
+              text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """(id, line_no, line): 0-based unit explosion, trailing empties
+    kept (split limit -1) so reassembly is byte-faithful.  ``sep``
+    picks the grain: '\\n' = lines (default), '\\n\\n' = paragraphs —
+    CCNet's actual dedup grain.  Split-then-rejoin on the same literal
+    separator is byte-faithful for ANY separator (non-overlapping
+    left-to-right split, same rule in Spark and DuckDB —
+    test-pinned on the 'a\\n\\n\\nb' edge)."""
     return df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
-            "line_no", "line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("line_no", "line"),
     )
 
 
 def _candidates(df: DataFrame, id_col: str, text_col: str,
-                min_chars: int) -> DataFrame:
+                min_chars: int, sep: str = "\n") -> DataFrame:
     """(id, line_no, line_md5) for dedup-eligible lines — text dropped
     before anything wide happens.  Lines at index >= _OWNER_ENC are
     excluded from candidacy (fail-open: a pathological >1M-line doc
@@ -77,7 +84,7 @@ def _candidates(df: DataFrame, id_col: str, text_col: str,
         F.raise_error(F.lit("line dedup requires non-negative doc ids"))
     )
     return (
-        line_rows(df, id_col, text_col)
+        line_rows(df, id_col, text_col, sep)
         .filter((F.length("line") >= min_chars) & enc_ok)
         .select(id_col, "line_no", F.md5("line").alias("line_md5"))
     )
@@ -89,6 +96,7 @@ def duplicated_lines(
     text_col: str = "text",
     min_count: int = MIN_COUNT,
     min_chars: int = MIN_CHARS,
+    sep: str = "\n",
 ) -> DataFrame:
     """(line_md5, n_lines, n_docs, owner_doc, owner_line): corpus-wide
     duplicated lines with their canonical owner occurrence (lowest
@@ -97,7 +105,7 @@ def duplicated_lines(
     the same arithmetic runs in the DuckDB oracle."""
     enc = F.col(id_col).cast("long") * _OWNER_ENC + F.col("line_no")
     return (
-        _candidates(df, id_col, text_col, min_chars)
+        _candidates(df, id_col, text_col, min_chars, sep)
         .groupBy("line_md5")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -123,6 +131,7 @@ def line_dedup_remove(
     min_count: int = MIN_COUNT,
     min_chars: int = MIN_CHARS,
     broadcast_dups: bool = False,
+    sep: str = "\n",
 ) -> DataFrame:
     """(id, clean_text): every non-owner occurrence of a duplicated
     line removed, remaining lines rejoined with '\\n' in original
@@ -130,12 +139,13 @@ def line_dedup_remove(
     table (the two-step production shape, like simhash_signatures);
     omitted, it is derived from ``df`` in the same plan."""
     if dups is None:
-        dups = duplicated_lines(df, id_col, text_col, min_count, min_chars)
+        dups = duplicated_lines(df, id_col, text_col, min_count, min_chars,
+                                sep)
     dup_side = dups.select("line_md5", "owner_doc", "owner_line")
     if broadcast_dups:
         dup_side = F.broadcast(dup_side)
     flagged = (
-        _candidates(df, id_col, text_col, min_chars)
+        _candidates(df, id_col, text_col, min_chars, sep)
         .join(dup_side, "line_md5")
         .filter(
             ~(
@@ -150,11 +160,11 @@ def line_dedup_remove(
     )
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
     kept = F.filter(
-        F.split(F.col(text_col), "\n", -1),
+        F.split(F.col(text_col), re.escape(sep), -1),
         lambda line, i: ~F.array_contains(rm, i),
     )
     return df.join(removed, id_col, "left").select(
-        F.col(id_col), F.concat_ws("\n", kept).alias("clean_text")
+        F.col(id_col), F.concat_ws(sep, kept).alias("clean_text")
     )
 
 
@@ -218,10 +228,10 @@ line_corpus AS (
 # --------------------------------------------------------------------------
 
 def _slice_line_stats(df: DataFrame, id_col: str, text_col: str,
-                      min_chars: int) -> DataFrame:
+                      min_chars: int, sep: str = "\n") -> DataFrame:
     enc = F.col(id_col).cast("long") * _OWNER_ENC + F.col("line_no")
     return (
-        _candidates(df, id_col, text_col, min_chars)
+        _candidates(df, id_col, text_col, min_chars, sep)
         .groupBy("line_md5")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -382,5 +392,96 @@ LEFT JOIN (
     LEFT JOIN flagged f ON f.doc_id = l.doc_id AND f.line_no = l.line_no
     WHERE f.doc_id IS NULL
     GROUP BY l.doc_id
+) k USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# paragraph grain — CCNet's actual dedup unit is the paragraph (its
+# per-shard hash dedup keys normalized PARAGRAPHS, not lines); the
+# machinery above is grain-agnostic via ``sep``, so the paragraph form
+# is the same oracle-checked code path with sep='\n\n'.  The fixture
+# derives paragraph-structured pages with a corpus-wide banner
+# paragraph (the mega-hot key) and a 7-family footer paragraph.
+# --------------------------------------------------------------------------
+
+PARA_SEP = "\n\n"
+
+
+def duplicated_paragraphs(df: DataFrame, **kw) -> DataFrame:
+    """duplicated_lines at paragraph grain (owner columns keep the
+    generic line_* names: line_no is the paragraph index)."""
+    return duplicated_lines(df, sep=PARA_SEP, **kw)
+
+
+def paragraph_dedup_remove(df: DataFrame, dups: DataFrame | None = None,
+                           **kw) -> DataFrame:
+    """line_dedup_remove at paragraph grain: every non-owner
+    occurrence of a corpus-duplicated paragraph removed, pages
+    rejoined with '\\n\\n' byte-faithfully."""
+    return line_dedup_remove(df, dups=dups, sep=PARA_SEP, **kw)
+
+
+def paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    body = F.replace(F.col("text"), F.lit(" value "), F.lit(PARA_SEP))
+    txt = F.concat(
+        body,
+        F.lit(PARA_SEP + _BANNER + PARA_SEP + _FOOTER),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select("doc_id", txt.alias("text"))
+
+
+def q_paragraph_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup_remove(paragraph_corpus(spark, sf_dir))
+
+
+def oracle_paragraph_dedup_remove_sql() -> str:
+    """The line-remove oracle restated at paragraph grain — DuckDB's
+    multi-char string_split has the same non-overlapping left-to-right
+    rule as Spark's split, so the grain change is just the separator."""
+    sep = "chr(10) || chr(10)"
+    return f"""
+WITH para_corpus AS (
+    SELECT doc_id,
+           replace(text, ' value ', chr(10) || chr(10))
+           || chr(10) || chr(10) || '{_BANNER}'
+           || chr(10) || chr(10) || '{_FOOTER}' || (doc_id % 7)::VARCHAR
+               AS text
+    FROM documents
+),
+paras AS (
+    SELECT doc_id, i - 1 AS line_no, l[i] AS line
+    FROM (SELECT doc_id, string_split(text, {sep}) AS l
+          FROM para_corpus) t,
+         unnest(range(1, len(l) + 1)) AS r(i)
+),
+cand AS (
+    SELECT doc_id, line_no, md5(line) AS line_md5
+    FROM paras WHERE length(line) >= {MIN_CHARS} AND line_no < {_OWNER_ENC}
+),
+dups AS (
+    SELECT line_md5, COUNT(*) AS n_lines,
+           MIN(doc_id * {_OWNER_ENC} + line_no) AS ok
+    FROM cand GROUP BY 1 HAVING COUNT(*) >= {MIN_COUNT}
+),
+flagged AS (
+    SELECT c.doc_id, c.line_no
+    FROM cand c JOIN dups d USING (line_md5)
+    WHERE NOT (c.doc_id = d.ok // {_OWNER_ENC}
+               AND c.line_no = d.ok % {_OWNER_ENC})
+)
+SELECT pc.doc_id, COALESCE(k.clean_text, '') AS clean_text
+FROM para_corpus pc
+LEFT JOIN (
+    SELECT p.doc_id,
+           string_agg(p.line, {sep} ORDER BY p.line_no) AS clean_text
+    FROM paras p
+    LEFT JOIN flagged f ON f.doc_id = p.doc_id AND f.line_no = p.line_no
+    WHERE f.doc_id IS NULL
+    GROUP BY p.doc_id
 ) k USING (doc_id)
 """
