@@ -180,3 +180,57 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert got[1] == (4, 9)
     assert got[2] == (4, 4)
     assert got[3] == (0, 0)
+
+
+class TestSpanDecontamination:
+    def _dfs(self, spark):
+        # 5 benchmark tokens -> TWO 4-grams, so adjacent corpus hit
+        # windows exist and must merge
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # benchmark 4-gram mid-text: exactly that span cut
+                (1, "intro words here alpha beta gamma delta tail words"),
+                # two overlapping hit windows merge into one span
+                (2, "x alpha beta gamma delta epsilon y"),
+                # no hits: text survives (space-normalized contract)
+                (3, "totally unrelated content words"),
+                # the whole doc is the benchmark text: everything cut
+                (4, "alpha beta gamma delta"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_spans_and_removal(self, spark):
+        from xjs.pipeline.decontam import (
+            contaminated_docs,
+            contaminated_spans,
+            decontaminate_spans,
+        )
+
+        corpus, bench = self._dfs(spark)
+        spans = {
+            r.doc_id: (r.token_start, r.token_end)
+            for r in contaminated_spans(corpus, bench).collect()
+        }
+        # doc 1: tokens 3..6 hit -> one window -> span [3, 7)
+        assert spans[1] == (3, 7)
+        # doc 2: windows at 1 and 2 merge -> [1, 6)
+        assert spans[2] == (1, 6)
+        assert 3 not in spans
+        assert spans[4] == (0, 4)
+
+        out = {r.doc_id: r.clean_text
+               for r in decontaminate_spans(corpus, bench).collect()}
+        assert out[1] == "intro words here tail words"
+        assert out[2] == "x y"
+        assert out[3] == "totally unrelated content words"
+        assert out[4] == ""
+        # span-flagged docs == doc-grain contaminated docs (consistency)
+        hit_docs = {r.doc_id
+                    for r in contaminated_docs(corpus, bench).collect()}
+        assert hit_docs == set(spans)
