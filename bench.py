@@ -196,6 +196,18 @@ def build_queries(spark, sf_dir: str, factor: int):
         bench = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE == 0)
         return decontam.contaminated_docs(corpus, bench)
 
+    def q_decontam_spans():
+        # span-grain removal (splice benchmark-overlapping spans, keep
+        # the rest); same collapse-first + repartition pin; force()
+        # because the row ends in the narrow splice projection
+        docs = wp().select("doc_id", "text")
+        d = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        corpus = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE != 0)
+        bench = d.filter(F.col("doc_id") % decontam.BENCH_RESIDUE == 0)
+        return force(decontam.decontaminate_spans(corpus, bench))
+
     def q_substring():
         # collapse-first composition + native hashed gram keys (the
         # 100 TB shape; the portable string-gram path exists for the
@@ -782,6 +794,7 @@ def build_queries(spark, sf_dir: str, factor: int):
         "similarity_topk_scaled": q_similarity_topk_scaled,
         "embedding_neardup_scaled": q_emb_neardup_scaled,
         "decontaminate": q_decontam,
+        "decontaminate_spans": q_decontam_spans,
         "dedup_substring": q_substring,
         "sample_stratified": q_stratified,
         "url_canonical_dedup": q_canonical,
