@@ -220,3 +220,35 @@ class TestParagraphGrain:
         ra = sorted(L.line_dedup_remove(docs).collect())
         rb = sorted(L.line_dedup_remove(docs, sep="\n").collect())
         assert ra == rb
+
+
+class TestWithinDocDedup:
+    def test_repeats_removed_first_kept(self, spark):
+        from xjs.pipeline.lines import line_dedup_within_doc
+
+        docs = spark.createDataFrame(
+            [
+                (1, "repeated line body\nunique middle\nrepeated line body"),
+                # corpus-wide repeats across docs are NOT this op's job
+                (2, "repeated line body\nother content here"),
+                # sub-min_chars lines (blank separators) never removed
+                (3, "long enough line\n\nlong enough line\n"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.clean_text
+               for r in line_dedup_within_doc(docs).collect()}
+        assert out[1] == "repeated line body\nunique middle"
+        assert out[2] == "repeated line body\nother content here"
+        # the duplicate long line drops; both empty lines survive
+        assert out[3] == "long enough line\n\n"
+
+    def test_triple_repeat_keeps_exactly_first(self, spark):
+        from xjs.pipeline.lines import line_dedup_within_doc
+
+        docs = spark.createDataFrame(
+            [(1, "\n".join(["same exact line"] * 3 + ["tail line here"]))],
+            "doc_id long, text string",
+        )
+        out = line_dedup_within_doc(docs).collect()[0].clean_text
+        assert out == "same exact line\ntail line here"

@@ -485,3 +485,107 @@ LEFT JOIN (
     GROUP BY p.doc_id
 ) k USING (doc_id)
 """
+
+
+def line_dedup_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = MIN_CHARS,
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, clean_text): every repeat of a line WITHIN the same
+    document removed, first occurrence kept — the intra-document half
+    of line cleanup (RefinedWeb's in-page repetition removal; the
+    corpus-wide functions above deliberately leave within-doc repeats
+    to their owner rule only when the line is duplicated ACROSS docs).
+    Sub-``min_chars`` lines are never removed (blank separator lines
+    survive verbatim).
+
+    Scale shape: one doc-keyed window over (doc, digest, line_no) —
+    the ONLY exchange is on the doc id (no corpus-wide digest key at
+    all, so no hot-line skew class exists here); removal is the same
+    narrow index-array splice as line_dedup_remove, corpus text never
+    shuffled."""
+    from pyspark.sql.window import Window
+
+    cand = _candidates(df, id_col, text_col, min_chars, sep)
+    win = Window.partitionBy(id_col, "line_md5").orderBy("line_no")
+    dup_pos = (
+        cand.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") > 1)
+        .select(id_col, "line_no")
+    )
+    removed = dup_pos.groupBy(id_col).agg(
+        F.collect_list("line_no").alias("_rm")
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.split(F.col(text_col), re.escape(sep), -1),
+        lambda line, i: ~F.array_contains(rm, i),
+    )
+    return df.join(removed, id_col, "left").select(
+        F.col(id_col), F.concat_ws(sep, kept).alias("clean_text")
+    )
+
+
+def within_doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_corpus plus stated WITHIN-doc repeats: a second banner at
+    doc_id % 4 == 0 and a second footer at % 9 == 0 (the base fixture
+    has no intra-doc repeats — verified degenerate before this
+    injection existed)."""
+    base = line_corpus(spark, sf_dir)
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(i % 4 == 0, F.lit("\n" + _BANNER)).otherwise(F.lit("")),
+        F.when(i % 9 == 0,
+               F.concat(F.lit("\n" + _FOOTER), (i % 7).cast("string")))
+         .otherwise(F.lit("")),
+    )
+    return base.select("doc_id", txt.alias("text"))
+
+
+def q_line_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup_within_doc(within_doc_corpus(spark, sf_dir))
+
+
+def oracle_line_dedup_within_doc_sql() -> str:
+    return f"""
+WITH {DUCKDB_LINE_CORPUS_CTE.strip()},
+within_corpus AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_BANNER}'
+              ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+              THEN chr(10) || '{_FOOTER}' || (doc_id % 7)::VARCHAR
+              ELSE '' END AS text
+    FROM line_corpus
+),
+lines AS (
+    SELECT doc_id, i - 1 AS line_no, l[i] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+          FROM within_corpus) t,
+         unnest(range(1, len(l) + 1)) AS r(i)
+),
+dup_pos AS (
+    SELECT doc_id, line_no
+    FROM (SELECT doc_id, line_no,
+                 row_number() OVER (PARTITION BY doc_id, md5(line)
+                                    ORDER BY line_no) AS rk
+          FROM lines
+          WHERE length(line) >= {MIN_CHARS} AND line_no < {_OWNER_ENC})
+    WHERE rk > 1
+)
+SELECT lc.doc_id, COALESCE(k.clean_text, '') AS clean_text
+FROM within_corpus lc
+LEFT JOIN (
+    SELECT l.doc_id,
+           string_agg(l.line, chr(10) ORDER BY l.line_no) AS clean_text
+    FROM lines l
+    LEFT JOIN dup_pos d ON d.doc_id = l.doc_id AND d.line_no = l.line_no
+    WHERE d.doc_id IS NULL
+    GROUP BY l.doc_id
+) k USING (doc_id)
+"""
