@@ -103,16 +103,21 @@ def main() -> None:
         from xjs.pipeline.heuristics import gopher_features
 
         gf = gopher_features(kept_docs.select("doc_id", "text"))
+        # null text -> NULL keep (features propagate null); coalesce so
+        # such rows are REJECTED with an explicit reason instead of
+        # vanishing from the exact accounting
+        keep_b = F.coalesce(F.col("keep"), F.lit(False))
+        first_fail = F.when(
+            F.col("fail_rules") == "", F.lit("null_text")
+        ).otherwise(F.split("fail_rules", ",")[0])
         rejects = rejects.unionByName(
-            gf.filter(~F.col("keep")).select(
+            gf.filter(~keep_b).select(
                 "doc_id",
-                F.concat(
-                    F.lit("gopher:"), F.split("fail_rules", ",")[0]
-                ).alias("reason"),
+                F.concat(F.lit("gopher:"), first_fail).alias("reason"),
             )
         )
         kept_docs = kept_docs.join(
-            gf.filter("keep").select("doc_id"), "doc_id"
+            gf.filter(keep_b).select("doc_id"), "doc_id"
         )
     if args.c4_clean:
         from xjs.pipeline.heuristics import c4_stats

@@ -268,3 +268,14 @@ class TestGopherBuilders:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             H.gopher_features(df, impl="nope")
+
+
+def test_c4_null_text_explicit_drop(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "\n".join([LINE_OK, LINE_OK2, LINE_Q]))],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in H.c4_stats(df).collect()}
+    assert r[1].keep is False and r[1].reason == "null_text"
+    assert r[1].clean_text is None
+    assert r[2].keep is True

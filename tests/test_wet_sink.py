@@ -163,3 +163,30 @@ def test_export_job_wet_format(spark):
         m = spark.read.parquet(f"{tmp}/manifest")
         assert m.count() == 4
         assert sum(r.n_docs for r in m.collect()) == n
+
+
+def test_null_id_raises(spark):
+    df = spark.createDataFrame(
+        [(None, "https://a.example.com/x", "some text", "en")],
+        "doc_id long, url string, text string, lang string",
+    )
+    with tempfile.TemporaryDirectory(dir=".tmp") as tmp:
+        with pytest.raises(Exception, match="non-null ids"):
+            export.write_shards_wet(df, os.path.join(tmp, "wet"), n_shards=2)
+
+
+def test_null_ts_lands_in_bad_date_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/1", "text one here.", "en",
+          "2024-03-04 05:06:07"),
+         (2, "https://a.example.com/2", "text two here.", "en", None)],
+        "doc_id long, url string, text string, lang string, raw_ts string",
+    ).withColumn("warc_ts", F.to_timestamp("raw_ts")).drop("raw_ts")
+    with tempfile.TemporaryDirectory(dir=".tmp") as tmp:
+        out = os.path.join(tmp, "wet")
+        export.write_shards_wet(df, out, n_shards=1, ts_col="warc_ts")
+        clean, quar = warc.split_clean_quarantine(warc.read_warc_wet(spark, out))
+        crows = clean.collect()
+        assert len(crows) == 1 and crows[0].url.endswith("/1")
+        q = quar.collect()
+        assert len(q) == 1 and q[0].reason == "bad_date"

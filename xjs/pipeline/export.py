@@ -296,7 +296,11 @@ def write_shards_wet(
     Ledger-faithful nulls: a NULL url row is written WITHOUT a
     WARC-Target-URI header — on read it lands in quarantine as
     ``missing_uri`` instead of silently mutating into an empty-string
-    url; NULL text becomes an empty payload.
+    url; a NULL ``ts_col`` value omits WARC-Date the same way (read
+    side: ``bad_date`` quarantine); NULL text becomes an empty
+    payload.  A NULL id raises at write time (fail-fast, the line
+    dedup pattern): the record identity and shard key both derive
+    from it, so there is no faithful place to put such a row.
 
     Scale shape: ONE shuffle (the shard repartition), then a
     sequential per-partition writer inside ``mapInPandas`` whose
@@ -317,8 +321,14 @@ def write_shards_wet(
         cols.append(lang_col)
     if ts_col:
         cols.append(ts_col)
+    checked_id = F.when(
+        F.col(id_col).isNotNull(), F.col(id_col)
+    ).otherwise(
+        F.raise_error(F.lit("write_shards_wet requires non-null ids"))
+    )
     keyed = (
-        df.withColumn("_key", shard_key(F.col(id_col), seed=seed))
+        df.withColumn(id_col, checked_id)
+        .withColumn("_key", shard_key(F.col(id_col), seed=seed))
         .withColumn("shard_id", (_key60(F.col("_key")) % n_shards).cast("int"))
         .select(*cols)
         .repartition(n_shards, "shard_id")
@@ -359,9 +369,12 @@ def write_shards_wet(
                     headers.append(("WARC-Target-URI", str(url)))
                 if ts_col:
                     ts = getattr(r, ts_col)
-                    headers.append(
-                        ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ"))
-                    )
+                    if ts is not None and ts == ts:  # NaT-safe
+                        headers.append(
+                            ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ"))
+                        )
+                    # NULL ts: header omitted -> read-side bad_date
+                    # quarantine, the null-url convention
                 else:
                     headers.append(("WARC-Date", date))
                 if lang_col:

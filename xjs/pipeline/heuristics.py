@@ -104,7 +104,8 @@ def c4_stats(
     """Per-doc C4 ledger: (id, keep, reason, n_lines, n_kept,
     clean_text) — nothing silently dropped (the curate-job ledger
     contract).  ``reason`` is the FIRST failing page rule in the stated
-    order (lorem_ipsum, blocklist, curly_brace, too_few_lines); kept
+    order (null_text, lorem_ipsum, blocklist, curly_brace,
+    too_few_lines); kept
     docs carry ``''`` and the reassembled clean text, dropped docs a
     NULL clean_text.  One narrow projection, zero shuffle."""
     t = F.col(text_col)
@@ -117,8 +118,13 @@ def c4_stats(
         has_block = has_block | F.contains(lower, F.lit(w.lower()))
     has_brace = F.contains(t, F.lit("{"))
     too_few = F.size(kept) < F.lit(min_kept_lines)
+    # NULL text is an explicit drop class: every page rule evaluates
+    # NULL on it, which otherwise falls through to the KEEP branch —
+    # a silently-kept null row (and a doc the curate funnel's exact
+    # accounting would lose, since NULL keep joins into neither side)
     reason = (
-        F.when(has_lorem, "lorem_ipsum")
+        F.when(t.isNull(), "null_text")
+        .when(has_lorem, "lorem_ipsum")
         .when(has_block, "blocklist")
         .when(has_brace, "curly_brace")
         .when(too_few, "too_few_lines")
