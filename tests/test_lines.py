@@ -252,3 +252,38 @@ class TestWithinDocDedup:
         )
         out = line_dedup_within_doc(docs).collect()[0].clean_text
         assert out == "same exact line\ntail line here"
+
+
+def test_paragraph_incremental_fold_equals_batch(spark, tmp_path):
+    """The cross-run state algebra is grain-agnostic: a 3-slice
+    paragraph-grain fold equals the batch paragraph dedup — and the
+    folded state drops straight into paragraph_dedup_remove."""
+    from xjs.pipeline import lines as L
+
+    docs = spark.createDataFrame(
+        [(i,
+          f"unique paragraph {i}\n\nshared banner paragraph"
+          + ("\n\nextra shared block" if i % 2 == 0 else ""))
+         for i in range(9)],
+        "doc_id long, text string",
+    )
+    batch = sorted(L.duplicated_paragraphs(docs).collect())
+
+    dirs = [str(tmp_path / f"s{k}") for k in range(3)]
+    prev = None
+    for k in range(3):
+        L.line_state_update(
+            spark, docs.filter(F.col("doc_id") % 3 == k),
+            dirs[k], state_in=prev, sep=L.PARA_SEP,
+        )
+        prev = dirs[k]
+    folded = sorted(L.duplicated_from_state(spark, dirs[2]).collect())
+    assert folded == batch
+
+    a = sorted(L.paragraph_dedup_remove(docs).collect())
+    b = sorted(
+        L.paragraph_dedup_remove(
+            docs, dups=L.duplicated_from_state(spark, dirs[2])
+        ).collect()
+    )
+    assert a == b

@@ -249,16 +249,20 @@ def line_state_update(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_chars: int = MIN_CHARS,
+    sep: str = "\n",
 ) -> None:
     """Fold a new corpus slice (doc_id, text) into line-dedup state.
     ``state_in=None`` bootstraps.  No-op if ``state_out`` is already
     complete (kill/re-submit safe).  Slices must carry disjoint doc
-    ids (each doc ingested exactly once) for n_docs to merge exactly."""
+    ids (each doc ingested exactly once) for n_docs to merge exactly.
+    ``sep`` picks the grain (the paragraph form folds with
+    sep=PARA_SEP; the separator is part of the state contract — mixing
+    grains in one state dir is caller error)."""
     import os
 
     if os.path.exists(os.path.join(state_out, "_SUCCESS")):
         return
-    fresh = _slice_line_stats(new_df, id_col, text_col, min_chars)
+    fresh = _slice_line_stats(new_df, id_col, text_col, min_chars, sep)
     if state_in is not None:
         old = spark.read.parquet(state_in)
         fresh = old.unionByName(fresh)
