@@ -55,6 +55,7 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "native",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """(id, n_transitions, lp_sum): integer micro-nat log-probability
     of each document's token-transition sequence under the artifact's
@@ -67,7 +68,16 @@ def lm_score(
     transition with probability ~|model|/2^64 per probe, negligible
     against the model's own smoothing error.  ``'portable'`` joins on
     the exact strings (the oracle-provable reference; interleaved A/B
-    at 1M docs: 2.6s native vs 6.9s portable, identical output)."""
+    at 1M docs: 2.6s native vs 6.9s portable, identical output).
+
+    ``carry_cols`` names extra per-doc columns (functionally dependent
+    on the id, e.g. the language) carried through the aggregation so
+    consumers skip a corpus-sized join-back.
+
+    Zero-transition docs are kept via ``explode_outer`` (one null row
+    per such doc) instead of the previous id-only join-back against the
+    corpus — that join was two corpus-sized Exchanges per call (r6
+    guide §2.4); the null rows are masked out of both aggregates."""
     spark = df.sparkSession
     bigrams, lp_oov = _bigram_df(spark, artifact)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -76,30 +86,36 @@ def lm_score(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("prev"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("tok"),
     )
+    carry = list(carry_cols)
     trans = df.select(
-        id_col, F.explode(pairs).alias("_t")
-    ).select(id_col, F.col("_t.prev").alias("prev"), F.col("_t.tok").alias("tok"))
+        id_col, *carry, F.explode_outer(pairs).alias("_t")
+    ).select(
+        id_col, *carry,
+        F.col("_t").isNotNull().alias("_has"),
+        F.col("_t.prev").alias("prev"), F.col("_t.tok").alias("tok"),
+    )
     if hash_mode == "native":
         trans = trans.select(
-            id_col, F.xxhash64("prev", "tok").alias("_bk")
+            id_col, *carry, "_has",
+            F.when(F.col("_has"), F.xxhash64("prev", "tok")).alias("_bk"),
         )
         model = bigrams.select(F.xxhash64("prev", "tok").alias("_bk"), "lp")
         join_keys = ["_bk"]
     else:
         model = bigrams
         join_keys = ["prev", "tok"]
-    scored = (
+    return (
         trans.join(F.broadcast(model), join_keys, "left")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
-            F.count(F.lit(1)).alias("n_transitions"),
-            F.sum(F.coalesce("lp", F.lit(lp_oov))).alias("lp_sum"),
+            F.count(F.when(F.col("_has"), F.lit(1))).alias("n_transitions"),
+            F.coalesce(
+                F.sum(F.when(F.col("_has"),
+                             F.coalesce("lp", F.lit(lp_oov)))),
+                F.lit(0).cast("long"),
+            ).alias("lp_sum"),
         )
-    )
-    return df.select(id_col).join(scored, id_col, "left").select(
-        id_col,
-        F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
-        F.coalesce("lp_sum", F.lit(0)).alias("lp_sum"),
+        .select(id_col, *carry, "n_transitions", "lp_sum")
     )
 
 
@@ -136,6 +152,7 @@ def lm_score_trigram(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "native",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """(id, n_transitions, lp_sum): integer micro-nat score under the
     singleton-pruned trigram artifact with STUPID BACKOFF — a
@@ -172,17 +189,23 @@ def lm_score_trigram(
         F.slice(toks, 2, m).alias("p1"),
         F.slice(toks, 3, m).alias("tok"),
     )
-    trans = df.select(id_col, F.explode(triples).alias("_t")).select(
-        id_col,
+    carry = list(carry_cols)
+    # explode_outer keeps zero-transition docs as one masked null row —
+    # no corpus-sized join-back (see lm_score)
+    trans = df.select(
+        id_col, *carry, F.explode_outer(triples).alias("_t")
+    ).select(
+        id_col, *carry,
+        F.col("_t").isNotNull().alias("_has"),
         F.col("_t.p2").alias("p2"),
         F.col("_t.p1").alias("p1"),
         F.col("_t.tok").alias("tok"),
     )
     if hash_mode == "native":
         trans = trans.select(
-            id_col,
-            F.xxhash64("p2", "p1", "tok").alias("_k3"),
-            F.xxhash64("p1", "tok").alias("_k2"),
+            id_col, *carry, "_has",
+            F.when(F.col("_has"), F.xxhash64("p2", "p1", "tok")).alias("_k3"),
+            F.when(F.col("_has"), F.xxhash64("p1", "tok")).alias("_k2"),
         )
         tri = tri.select(F.xxhash64("p2", "p1", "tok").alias("_k3"), "lp3")
         bi = bi.select(F.xxhash64("p1", "tok").alias("_k2"), "lp2")
@@ -192,19 +215,16 @@ def lm_score_trigram(
     lp = F.coalesce(
         F.col("lp3"), F.col("lp2") + F.lit(backoff), F.lit(lp_oov)
     )
-    scored = (
+    return (
         trans.join(F.broadcast(tri), k3, "left")
         .join(F.broadcast(bi), k2, "left")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
-            F.count(F.lit(1)).alias("n_transitions"),
-            F.sum(lp).alias("lp_sum"),
+            F.count(F.when(F.col("_has"), F.lit(1))).alias("n_transitions"),
+            F.coalesce(F.sum(F.when(F.col("_has"), lp)),
+                       F.lit(0).cast("long")).alias("lp_sum"),
         )
-    )
-    return df.select(id_col).join(scored, id_col, "left").select(
-        id_col,
-        F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
-        F.coalesce("lp_sum", F.lit(0)).alias("lp_sum"),
+        .select(id_col, *carry, "n_transitions", "lp_sum")
     )
 
 
@@ -253,6 +273,7 @@ def lm_score_5gram(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "native",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """(id, n_transitions, lp_sum): integer micro-nat score under the
     committed 5-gram artifact — CCNet's deployed model form — with
@@ -287,14 +308,21 @@ def lm_score_5gram(
     tuples = F.arrays_zip(
         *[F.slice(toks, i + 1, m).alias(c)
           for i, c in enumerate(_GRAM_COLS[5])])
-    trans = df.select(id_col, F.explode(tuples).alias("_t")).select(
-        id_col, *[F.col(f"_t.{c}").alias(c) for c in _GRAM_COLS[5]])
+    carry = list(carry_cols)
+    # explode_outer keeps zero-transition docs as one masked null row —
+    # no corpus-sized join-back (see lm_score)
+    trans = df.select(
+        id_col, *carry, F.explode_outer(tuples).alias("_t")
+    ).select(
+        id_col, *carry,
+        F.col("_t").isNotNull().alias("_has"),
+        *[F.col(f"_t.{c}").alias(c) for c in _GRAM_COLS[5]])
 
     if hash_mode == "native":
         trans = trans.select(
-            id_col,
-            *[F.xxhash64(*_GRAM_COLS[n]).alias(f"_k{n}")
-              for n in _GRAM_COLS])
+            id_col, *carry, "_has",
+            *[F.when(F.col("_has"), F.xxhash64(*_GRAM_COLS[n]))
+              .alias(f"_k{n}") for n in _GRAM_COLS])
         keys = {}
         for n, cols in _GRAM_COLS.items():
             tabs[n] = tabs[n].select(
@@ -313,15 +341,11 @@ def lm_score_5gram(
     scored = trans
     for n in (5, 4, 3, 2):
         scored = scored.join(F.broadcast(tabs[n]), keys[n], "left")
-    scored = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_transitions"),
-        F.sum(lp).alias("lp_sum"),
-    )
-    return df.select(id_col).join(scored, id_col, "left").select(
-        id_col,
-        F.coalesce("n_transitions", F.lit(0)).alias("n_transitions"),
-        F.coalesce("lp_sum", F.lit(0)).alias("lp_sum"),
-    )
+    return scored.groupBy(id_col, *carry).agg(
+        F.count(F.when(F.col("_has"), F.lit(1))).alias("n_transitions"),
+        F.coalesce(F.sum(F.when(F.col("_has"), lp)),
+                   F.lit(0).cast("long")).alias("lp_sum"),
+    ).select(id_col, *carry, "n_transitions", "lp_sum")
 
 
 def lm_filter_5gram(
@@ -621,9 +645,19 @@ def ccnet_buckets(
     score_fn = scorer or lm_score
 
     def keyed(d: DataFrame) -> DataFrame:
-        # score_key NULL for zero-transition (unjudgeable) docs
-        s = score_fn(d, artifact, text_col, id_col, hash_mode)
-        return d.select(id_col, lang_col).join(s, id_col).select(
+        # score_key NULL for zero-transition (unjudgeable) docs.  The
+        # language column is CARRIED through the scorer's aggregation
+        # when the scorer supports it (all in-module scorers do) — the
+        # previous id-keyed join-back was a corpus-sized shuffle join
+        # paid twice per call (sample + main pass); custom scorers
+        # without carry_cols keep the join fallback.
+        try:
+            s = score_fn(d, artifact, text_col, id_col, hash_mode,
+                         carry_cols=(lang_col,))
+        except TypeError:
+            s = score_fn(d, artifact, text_col, id_col, hash_mode)
+            s = d.select(id_col, lang_col).join(s, id_col)
+        return s.select(
             id_col, lang_col,
             F.when(
                 F.col("n_transitions") > 0,

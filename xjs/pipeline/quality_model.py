@@ -68,23 +68,27 @@ def classifier_scores(
     weights, b_micro, n_buckets = _weights_df(spark, artifact)
     base = df.filter(F.col(text_col).isNotNull()) \
         .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    toks = (base
-            .filter(F.length(F.trim("_t")) > 0)
-            .select("doc_id",
-                    F.explode(F.split(F.trim("_t"), r"\s+")).alias("_tok")))
-    scored = (toks
-              .select("doc_id", bucket_col(F.col("_tok"), n_buckets)
-                      .alias("bucket"))
-              .join(F.broadcast(weights), "bucket")
-              .groupBy("doc_id")
-              .agg(F.count(F.lit(1)).alias("n_tokens"),
-                   F.sum("w").alias("_wsum")))
-    return (base.select("doc_id")
-            .join(scored, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-                    (F.lit(b_micro)
-                     + F.coalesce("_wsum", F.lit(0))).alias("score_micro")))
+    # blank docs explode to one null-token row (masked from both
+    # aggregates) instead of the previous id-keyed join-back against
+    # the corpus — that join was two corpus-sized Exchanges per call.
+    # The weight join becomes LEFT (the table enumerates every bucket
+    # in [0, B), so left == inner for real tokens; the null row's null
+    # bucket matches nothing).
+    toks = base.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(F.length(F.trim("_t")) > 0, F.split(F.trim("_t"), r"\s+"))
+        ).alias("_tok"))
+    return (toks
+            .select("doc_id", bucket_col(F.col("_tok"), n_buckets)
+                    .alias("bucket"))
+            .join(F.broadcast(weights), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(F.count("bucket").alias("n_tokens"),
+                 F.coalesce(F.sum("w"), F.lit(0).cast("long"))
+                 .alias("_wsum"))
+            .select("doc_id", "n_tokens",
+                    (F.lit(b_micro) + F.col("_wsum")).alias("score_micro")))
 
 
 def classifier_gate(
