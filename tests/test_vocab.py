@@ -69,15 +69,61 @@ def test_tfidf_top_terms_exact_small_case(spark):
 
 
 def test_tfidf_idf_side_broadcasts(spark):
-    """The vocabulary idf table is bounded -> the tf join must be a
-    BroadcastHashJoin, never a term-keyed shuffle join (stopword keys
-    are the hottest in any corpus)."""
+    """The catalyst reference impl: the vocabulary idf table is
+    bounded -> the tf join must be a BroadcastHashJoin, never a
+    term-keyed shuffle join (stopword keys are the hottest in any
+    corpus)."""
+    d = _docs(spark)
+    voc = vocab.top_vocab(vocab.word_frequencies(d), v=100)
+    df = vocab.tfidf_top_terms(d, voc, k=2, impl="catalyst")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_arrow_plan_is_shuffle_free(spark):
+    """The production (arrow) impl is one narrow kernel: no Exchange,
+    no Window, no join anywhere in the plan (r6)."""
     d = _docs(spark)
     voc = vocab.top_vocab(vocab.word_frequencies(d), v=100)
     df = vocab.tfidf_top_terms(d, voc, k=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInArrow" in plan
+    for node in ("Exchange", "Window", "Join"):
+        assert node not in plan, node
+
+
+def _edge_docs(spark):
+    # ties (equal scores), multi-whitespace runs (empty-string token
+    # from leading tab), unicode, and out-of-vocab tokens
+    return spark.createDataFrame(
+        [
+            (1, "aa bb aa bb cc"),
+            (2, "\tbb cc dd"),
+            (3, "zz aa éé zz"),
+            (4, None),
+            (5, "   "),
+            (6, "cc cc cc notinvocab"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_word_frequencies_arrow_equals_catalyst(spark):
+    d = _edge_docs(spark)
+    a = sorted(map(tuple, vocab.word_frequencies(d).collect()))
+    c = sorted(map(tuple,
+                   vocab.word_frequencies(d, impl="catalyst").collect()))
+    assert a == c and len(a) > 0
+
+
+def test_tfidf_arrow_equals_catalyst(spark):
+    d = _edge_docs(spark)
+    voc = vocab.top_vocab(vocab.word_frequencies(d), v=5)
+    a = sorted(map(tuple, vocab.tfidf_top_terms(d, voc, k=3).collect()))
+    c = sorted(map(tuple, vocab.tfidf_top_terms(
+        d, voc, k=3, impl="catalyst").collect()))
+    assert a == c and len(a) > 0
 
 
 def test_corpus_token_total_equals_freq_sum(spark):

@@ -55,14 +55,82 @@ def _token_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     F.explode(toks).alias("token")))
 
 
+def _doc_mask(text):
+    """Arrow-side twin of _token_rows' doc filter: non-null text with
+    length(trim(text, ' ')) > 0 — Spark trim strips ASCII 0x20 only."""
+    import pyarrow.compute as pc
+
+    trimmed = pc.utf8_trim(pc.fill_null(text, ""), characters=" ")
+    return pc.and_(pc.is_valid(text),
+                   pc.greater(pc.utf8_length(trimmed), 0)), trimmed
+
+
+def _token_stat_partials(df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """(token, cnt, dfp) per Arrow batch — the map-side combine for
+    word_frequencies.  Each document is exactly one input row, so it
+    lives in exactly ONE batch: per-batch distinct-doc counts (dfp)
+    SUM to the global document frequency, and the shuffle carries one
+    row per distinct token per batch instead of one per (token, doc)
+    pair.  Tokenizer parity with split(trim(text), '\\s+') via
+    pc.ascii_split_whitespace (the grams.py contract, test-pinned)."""
+    from collections.abc import Iterator
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            mask, trimmed = _doc_mask(batch.column(1))
+            texts = pc.filter(trimmed, mask)
+            if len(texts) == 0:
+                continue
+            lists = pc.ascii_split_whitespace(texts)
+            counts = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(lists)
+            if len(flat) == 0:
+                continue
+            row_ids = np.repeat(np.arange(len(texts), dtype=np.int64),
+                                counts)
+            enc = pc.dictionary_encode(flat)
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            u = len(enc.dictionary)
+            cnt = np.bincount(idx, minlength=u)
+            uniq_pairs = np.unique(row_ids * u + idx)
+            dfp = np.bincount(uniq_pairs % u, minlength=u)
+            yield pa.RecordBatch.from_arrays(
+                [enc.dictionary.cast(pa.string()),
+                 pa.array(cnt, type=pa.int64()),
+                 pa.array(dfp, type=pa.int64())],
+                names=["token", "cnt", "dfp"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        build, "token string, cnt long, dfp long")
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     impl: str = "arrow") -> DataFrame:
     """(token, cnt, df): corpus-wide occurrence count + document
-    frequency in ONE aggregation pass over the exploded tokens."""
-    return (_token_rows(df, text_col, id_col)
+    frequency in ONE aggregation pass over the tokens.
+
+    impl 'arrow' (default): per-batch combine kernel — the shuffle
+    carries (token, cnt, dfp) partials per batch (vocabulary-sized),
+    never the (token, doc_id) pair stream the Catalyst count_distinct
+    rewrite ships (measured: that pair shuffle dominated the row at 1M
+    docs).  'catalyst' is the zero-Python reference the kernel is
+    test-pinned against."""
+    if impl == "catalyst":
+        return (_token_rows(df, text_col, id_col)
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.count_distinct("doc_id").alias("df")))
+    return (_token_stat_partials(df, text_col, id_col)
             .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.count_distinct("doc_id").alias("df")))
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.sum("dfp").alias("df")))
 
 
 def corpus_token_total(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -106,7 +174,8 @@ def top_vocab(freqs: DataFrame, v: int = DEFAULT_V,
 def tfidf_top_terms(df: DataFrame, vocab: DataFrame,
                     k: int = DEFAULT_K,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    impl: str = "arrow") -> DataFrame:
     """(doc_id, term, tf, score, rank): each document's top-``k``
     vocabulary terms by integer tf-idf.
 
@@ -116,7 +185,20 @@ def tfidf_top_terms(df: DataFrame, vocab: DataFrame,
     DuckDB oracle bit-matches.  Ties break (score desc, term asc).
     ``vocab`` is the bounded top-V table, so the idf side broadcasts;
     n_docs counts docs with at least one token (the same population
-    the df column was computed over)."""
+    the df column was computed over).
+
+    impl 'arrow' (default): the whole op is per-document over a
+    BOUNDED vocabulary, so it runs as ONE narrow Arrow kernel — tf
+    counting, idf lookup, and the per-doc top-k all inside the batch,
+    ZERO corpus shuffle (the Catalyst form paid a (doc, token) tf
+    shuffle plus a doc-keyed window sort — 3 corpus-sized Exchanges).
+    The vocab (V rows, caller-bounded) and the one-row n_docs count
+    are collected driver-side, the novel_keys bounded-collect class.
+    Precondition (already implicit module-wide): ids are unique per
+    row.  'catalyst' is the zero-Python reference the kernel is
+    test-pinned against."""
+    if impl == "arrow":
+        return _tfidf_top_terms_arrow(df, vocab, k, text_col, id_col)
     toks = _token_rows(df, text_col, id_col)
     # n_docs = docs with >= 1 token == docs with non-blank text: count
     # it on the CORPUS (one narrow scan) instead of a count_distinct
@@ -140,6 +222,79 @@ def tfidf_top_terms(df: DataFrame, vocab: DataFrame,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "score", "rank"))
+
+
+def _tfidf_top_terms_arrow(df: DataFrame, vocab: DataFrame, k: int,
+                           text_col: str, id_col: str) -> DataFrame:
+    """The zero-shuffle tfidf_top_terms kernel (see docstring there).
+    Ordering parity: ties break (score desc, term asc) where term
+    comparison is UTF-8 byte order — Spark's UTF8String binary compare
+    and DuckDB's default collation agree with Python bytes compare."""
+    from collections.abc import Iterator
+
+    n_docs = int(
+        df.filter(F.col(text_col).isNotNull()
+                  & (F.length(F.trim(F.col(text_col))) > 0))
+        .agg(F.count_distinct(id_col).alias("n")).first()["n"])
+    vrows = vocab.select("token", "df").collect()  # bounded by V
+    v_tokens = [r["token"] for r in vrows]
+    n_v = len(v_tokens)
+    id_type = dict(df.dtypes)[id_col]
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        token_arr = pa.array(v_tokens, type=pa.string())
+        v_df = np.array([int(r["df"]) for r in vrows], dtype=np.int64)
+        idf = (n_docs * PPM) // v_df if n_v else np.zeros(0, np.int64)
+        # rank of each vocab token under UTF-8 byte order, for the tie-break
+        term_rank = np.empty(n_v, dtype=np.int64)
+        term_rank[
+            sorted(range(n_v), key=lambda i: v_tokens[i].encode("utf-8"))
+        ] = np.arange(n_v)
+
+        for batch in batches:
+            mask, trimmed = _doc_mask(batch.column(1))
+            ids = batch.column(0).filter(mask)
+            texts = pc.filter(trimmed, mask)
+            if len(texts) == 0 or n_v == 0:
+                continue
+            lists = pc.ascii_split_whitespace(texts)
+            counts = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(lists)
+            row_ids = np.repeat(np.arange(len(texts), dtype=np.int64),
+                                counts)
+            vidx = pc.fill_null(
+                pc.index_in(flat, value_set=token_arr), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = vidx >= 0
+            if not keep.any():
+                continue
+            key = row_ids[keep] * n_v + vidx[keep]
+            uk, tf = np.unique(key, return_counts=True)
+            r, t = uk // n_v, uk % n_v
+            tf = tf.astype(np.int64)
+            score = tf * idf[t]
+            order = np.lexsort((term_rank[t], -score, r))
+            r, t, tf, score = r[order], t[order], tf[order], score[order]
+            starts = np.flatnonzero(np.diff(r, prepend=-1))
+            sizes = np.diff(np.append(starts, len(r)))
+            rank = np.arange(len(r)) - np.repeat(starts, sizes) + 1
+            sel = rank <= k
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(r[sel])),
+                 token_arr.take(pa.array(t[sel])),
+                 pa.array(tf[sel], type=pa.int64()),
+                 pa.array(score[sel], type=pa.int64()),
+                 pa.array(rank[sel].astype(np.int32), type=pa.int32())],
+                names=[id_col, "term", "tf", "score", "rank"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        build,
+        f"{id_col} {id_type}, term string, tf long, score long, rank int")
 
 
 # ---------------------------------------------------------------------------
