@@ -51,6 +51,42 @@ CHUNK_WORDS = 8192   # 64 KiB per emitted bitmap chunk row
 DEFAULT_N_BITS = 1 << 20
 DEFAULT_K = 5
 
+# Per-partition partial chunks are usually SPARSE (each map partition
+# touches ~rows*k slots spread over the whole filter), yet every live
+# chunk used to ship dense — n_partitions x filter-size bytes through
+# the OR/sum-reduce shuffle (~1 GB at 2^23 uint32 slots on 32 cores).
+# Partials therefore pick per chunk between a dense blob and a sparse
+# (index, value) encoding, tagged by the first byte; the reduce decodes
+# both.  Internal wire format only — the assembled filter is unchanged.
+_DENSE, _SPARSE = b"\x00", b"\x01"
+
+
+def _encode_chunk(piece, live, idx_dtype, val_nbytes: int) -> bytes:
+    """piece: dense numpy chunk; live: indices of nonzero entries.
+    Sparse iff it is the smaller encoding."""
+    import numpy as np
+
+    sparse_sz = len(live) * (np.dtype(idx_dtype).itemsize + val_nbytes)
+    if sparse_sz < piece.nbytes:
+        return (_SPARSE + live.astype(idx_dtype).tobytes()
+                + piece[live].tobytes())
+    return _DENSE + piece.tobytes()
+
+
+def _decode_chunk(blob: bytes, n: int, dtype, idx_dtype):
+    """Inverse of _encode_chunk: dense numpy array of n entries."""
+    import numpy as np
+
+    tag, body = blob[:1], blob[1:]
+    if tag == _DENSE:
+        return np.frombuffer(body, dtype=dtype)
+    isz = np.dtype(idx_dtype).itemsize
+    m = len(body) // (isz + np.dtype(dtype).itemsize)
+    out = np.zeros(n, dtype=dtype)
+    out[np.frombuffer(body[: m * isz], dtype=idx_dtype)] = np.frombuffer(
+        body[m * isz:], dtype=dtype)
+    return out
+
 
 def _lanes(key: Column) -> tuple[Column, Column]:
     """Two independent 64-bit hash lanes, JVM-side (codegen-fused)."""
@@ -101,16 +137,20 @@ def bloom_build(df: DataFrame, key_col: str,
         chunks, blobs = [], []
         for c in range(0, n_words, CHUNK_WORDS):
             piece = words[c:c + CHUNK_WORDS]
-            if piece.any():  # sparse partitions emit only live chunks
+            live = np.flatnonzero(piece)
+            if len(live):  # sparse partitions emit only live chunks
                 chunks.append(c // CHUNK_WORDS)
-                blobs.append(piece.tobytes())
+                blobs.append(_encode_chunk(piece, live, np.uint16, 8))
         yield pd.DataFrame({"chunk": chunks, "words": blobs})
 
     def or_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["chunk"].iloc[0])
+        m = min(CHUNK_WORDS, n_words - c * CHUNK_WORDS)
         stacked = np.stack(
-            [np.frombuffer(b, dtype=np.uint64) for b in pdf["words"]])
+            [_decode_chunk(b, m, np.uint64, np.uint16)
+             for b in pdf["words"]])
         return pd.DataFrame({
-            "chunk": [int(pdf["chunk"].iloc[0])],
+            "chunk": [c],
             "words": [np.bitwise_or.reduce(stacked, axis=0).tobytes()],
         })
 
@@ -380,16 +420,20 @@ def counting_build(df: DataFrame, key_col: str,
         chunks, blobs = [], []
         for c in range(0, n_slots, CHUNK_WORDS):
             piece = counts[c:c + CHUNK_WORDS]
-            if piece.any():
+            live = np.flatnonzero(piece)
+            if len(live):
                 chunks.append(c // CHUNK_WORDS)
-                blobs.append(piece.tobytes())
+                blobs.append(_encode_chunk(piece, live, np.uint16, 4))
         yield pd.DataFrame({"chunk": chunks, "words": blobs})
 
     def sum_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["chunk"].iloc[0])
+        m = min(CHUNK_WORDS, n_slots - c * CHUNK_WORDS)
         stacked = np.stack(
-            [np.frombuffer(b, dtype=np.uint32) for b in pdf["words"]])
+            [_decode_chunk(b, m, np.uint32, np.uint16)
+             for b in pdf["words"]])
         return pd.DataFrame({
-            "chunk": [int(pdf["chunk"].iloc[0])],
+            "chunk": [c],
             "words": [stacked.sum(axis=0, dtype=np.uint32).tobytes()],
         })
 
