@@ -111,21 +111,27 @@ def pagerank_int(
     clusters.py pointer-jumping pattern): without the cut, every
     iteration's plan re-derives the edge extraction (regexp over html
     at the call sites here) once per reference — measured as 24
-    Exchanges for 3 iterations vs ~10 after.  out_degree is folded
-    into the edge table before the loop so the per-iteration work is
-    exactly join + agg; the checkpointed edge table is pre-partitioned
-    on src so the iteration join re-shuffles only the scores side."""
-    e = (edges.filter(F.col("src") != F.col("dst"))
-         .select("src", "dst").distinct()
-         .localCheckpoint(eager=False))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    e_deg = (e.join(out_deg, "src")
+    Exchanges for 3 iterations vs ~10 after.
+
+    Setup rides ONE src-keyed shuffle (r6: setup, not the iterations,
+    was ~90% of the row): repartition(src) -> groupBy(src, dst) dedup
+    (subset partitioning, no second exchange) -> out_degree as a
+    window count over the same partitioning — replacing the previous
+    distinct + groupBy(src) + join + repartition chain (3 edge-table
+    shuffles and an SMJ).  nodes drops its redundant repartition (the
+    distinct aggregation already leaves the table node-partitioned)."""
+    from pyspark.sql import Window
+
+    e_deg = (edges.filter(F.col("src") != F.col("dst"))
+             .select("src", "dst")
              .repartition("src")
+             .distinct()  # subset partitioning: no second exchange
+             .withColumn(
+                 "outd", F.count(F.lit(1)).over(Window.partitionBy("src")))
              .localCheckpoint(eager=False))
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
+    nodes = (e_deg.select(F.col("src").alias("node"))
+             .unionByName(e_deg.select(F.col("dst").alias("node")))
              .distinct()
-             .repartition("node")
              .localCheckpoint(eager=False))
     base = scale * (100 - damping_pct) // 100
     scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
