@@ -57,14 +57,32 @@ def test_connected_components_long_chain(spark):
     assert cc == {i: 0 for i in range(n)}
 
 
+def test_connected_components_fast_path_equals_loop(spark):
+    """The driver union-find fast path (r6) must label exactly like the
+    distributed pointer-jumping loop, including multi-component graphs
+    with merge-through-chains and isolated pairs."""
+    rows = ([(i, i + 1) for i in range(0, 20)]           # chain 0..20
+            + [(100, 101), (102, 101), (104, 103)]       # small merges
+            + [(500, 700), (700, 300)])                  # min in middle
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    fast = {(r["doc_id"], r["cluster"])
+            for r in clusters.connected_components(pairs).collect()}
+    loop = {(r["doc_id"], r["cluster"])
+            for r in clusters.connected_components(
+                pairs, driver_edge_cap=0).collect()}
+    assert fast == loop and len(fast) > 0
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
     )
+    # driver_edge_cap=0 forces the distributed loop (the fast path
+    # solves any under-cap graph exactly, so it cannot non-converge)
     with pytest.raises(RuntimeError, match="did not converge"):
-        clusters.connected_components(pairs, max_iters=2)
+        clusters.connected_components(pairs, max_iters=2, driver_edge_cap=0)
 
 
 def test_curate_corpus_is_subset_with_gates(spark, sf_dir):

@@ -29,8 +29,52 @@ from xjs.pipeline.dedup import DUCKDB_CORPUS_CTE, _minhash_sql, dedup_corpus, ve
 
 MAX_ITERS = 20
 
+#: edge-count ceiling for the driver-side union-find fast path.  The
+#: candidate graph is pair-graph sized (near-duplicate mass), usually
+#: minuscule next to the corpus; below the cap the whole component
+#: computation is one bounded collect + O(E α(E)) union-find instead of
+#: O(log d) distributed rounds, each of which costs several shuffle
+#: stages of fixed overhead (measured: 4.1s for a 151-node graph on
+#: local[32] vs 0.2s collected).  The cap bounds the collect by a
+#: CONFIGURED constant (the novel_keys / checkpoint-manifest collect
+#: class); graphs above it take the distributed loop unchanged.
+CC_DRIVER_EDGE_CAP = 100_000
 
-def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+
+def _driver_union_find(rows) -> dict:
+    """node -> min reachable id over the collected edge list."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = MAX_ITERS,
+    driver_edge_cap: int = CC_DRIVER_EDGE_CAP,
+) -> DataFrame:
     """(doc_id, cluster): min doc_id reachable in the pair graph.
 
     Raises RuntimeError if the loop has not converged after
@@ -41,6 +85,19 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     sym = edges.unionAll(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct().cache()
+    if sym.count() <= driver_edge_cap:
+        labels = _driver_union_find(
+            [(r[0], r[1]) for r in sym.collect()]  # bounded by the cap
+        )
+        sym.unpersist()
+        spark = pairs.sparkSession
+        id_type = pairs.schema["doc_a"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType([StructField("doc_id", id_type, False),
+                             StructField("cluster", id_type, False)])
+        return spark.createDataFrame(
+            sorted(labels.items()), schema)
     labels = (
         sym.select(F.col("doc_a").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))

@@ -158,7 +158,10 @@ def incremental_update(
     if _complete(state_out):
         return
 
-    new_docs = new_df.select("doc_id", F.md5(F.col("text")).alias("dig"), "text")
+    # digest the slice once — see minhash_incremental_update (r6)
+    new_docs = new_df.select(
+        "doc_id", F.md5(F.col("text")).alias("dig"), "text"
+    ).localCheckpoint(eager=False)
 
     if state_in is not None:
         digests, sigs, members = load_state(spark, state_in)
@@ -420,7 +423,12 @@ def minhash_incremental_update(
     if _mh_complete(state_out):
         return
 
-    new_docs = new_df.select("doc_id", F.md5(F.col("text")).alias("dig"), "text")
+    # digest the slice ONCE: both consumers below (the exact-collapse
+    # grouping and the members join) previously re-derived this from
+    # the source — a second full slice scan + md5 pass (r6)
+    new_docs = new_df.select(
+        "doc_id", F.md5(F.col("text")).alias("dig"), "text"
+    ).localCheckpoint(eager=False)
 
     if state_in is not None:
         digests, sigs, members = load_minhash_state(spark, state_in)
