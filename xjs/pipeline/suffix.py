@@ -332,6 +332,14 @@ def char_span_duplicates(
     (one owner row per window content, output bounded by the position
     count, partial aggregation absorbs hot-window skew); islands merge
     under a doc-keyed window bounded by document length."""
+    # keys feeds BOTH the owner aggregate and the probe side of the
+    # join, so the keying chain appears twice in the plan.  An r6
+    # interleaved A/B of localCheckpoint-ing it once vs recomputing
+    # (35M unanchored windows, sf0.1 edge corpus) showed the
+    # materialization costs ~3s steadily while the recompute is
+    # cheaper on an idle host (best 5.4s vs 8.4s floor) — the kernel
+    # is O(N) and the upstream collapse exchange is shared, so the
+    # double derivation stays.
     keys = char_window_keys(df, id_col, text_col, k, method, anchor_mod)
     kc = ["key_a", "key_b"] if method == "rank" else ["key"]
     owners = keys.groupBy(*kc).agg(F.min(id_col).alias("_owner"))
