@@ -131,24 +131,39 @@ def predict_series(model: dict, texts) -> "object":
     import numpy as np
     import pandas as pd
 
+    from xjs.pipeline.grams import _ragged_ranges
+
     lp = model["log_prob"]
     prior = model["log_prior"]
     langs = model["langs"]
     n_buckets = model["n_buckets"]
+    n = model["n_gram"]
     vals = texts.tolist()
     out: list = [None] * len(vals)
     for lo in range(0, len(vals), PREDICT_CHUNK):
         chunk = vals[lo:lo + PREDICT_CHUNK]
-        feats = np.zeros((len(chunk), n_buckets), dtype=np.float32)
+        # one flat byte universe per chunk instead of ~6 numpy calls
+        # per document (r6: the per-doc loop was the operator's cost —
+        # 1M tiny-array calls); the padded encode keeps _byte_windows'
+        # exact gram set, and non-empty padded docs are always >= n
+        # bytes so the short-doc pad branch never fires here
+        keep = [r for r, t in enumerate(chunk) if t]
         mask = np.zeros(len(chunk), dtype=bool)
-        for r, t in enumerate(chunk):
-            if not t:
-                continue
-            mask[r] = True
-            ids, cnt = np.unique(
-                _bucket_ids(_byte_windows(t), n_buckets), return_counts=True
-            )
-            feats[r, ids] = cnt
+        mask[keep] = True
+        feats = np.zeros((len(chunk), n_buckets), dtype=np.float32)
+        if keep:
+            bufs = [(_PAD + chunk[r].lower() + _PAD).encode("utf-8")
+                    for r in keep]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            g, seg = _ragged_ranges(offsets, lens - n + 1)
+            h = np.zeros(len(g), dtype=np.uint64)
+            for j in range(n):  # same horner hash as _bucket_ids
+                h = h * np.uint64(257) + flat[g + j].astype(np.uint64)
+            ids = (h % np.uint64(n_buckets)).astype(np.int64)
+            rows = np.asarray(keep, dtype=np.int64)[seg]
+            np.add.at(feats, (rows, ids), 1.0)
         scores = feats @ lp.T + prior
         best = scores.argmax(axis=1)
         for r, (b, m) in enumerate(zip(best, mask)):
