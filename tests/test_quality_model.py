@@ -62,15 +62,37 @@ def test_gate_drops_exactly_the_corrupted_docs(spark, sf_dir):
 
 
 def test_weight_join_broadcasts(spark):
-    """The B-row weight table must broadcast; bucket is never a
-    shuffle key.  (The id-only join-back that keeps blank docs is a
-    co-partitioned doc_id join — correctly NOT a broadcast, both sides
-    are corpus-sized at scale.)"""
+    """The catalyst reference impl: the B-row weight table must
+    broadcast; bucket is never a shuffle key."""
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
-    plan = (quality_model.classifier_scores(df)
+    plan = (quality_model.classifier_scores(df, impl="catalyst")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin [bucket" in plan
     assert "Exchange hashpartitioning(bucket" not in plan
+
+
+def test_arrow_scores_plan_is_shuffle_free(spark):
+    """The production (arrow) impl is one narrow kernel: no Exchange,
+    no join anywhere in the plan (r6)."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (quality_model.classifier_scores(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInArrow" in plan
+    for node in ("Exchange", "Join"):
+        assert node not in plan, node
+
+
+def test_arrow_scores_equal_catalyst(spark):
+    """Kernel vs reference on edge rows: blank, null, leading tab
+    (empty-string token), unicode, repeats."""
+    rows = [(1, "the scan window batch"), (2, "zzthe zzscan"),
+            (3, "repeat repeat repeat"), (4, ""), (5, None),
+            (6, "\tx y"), (7, "éé café"), (8, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, quality_model.classifier_scores(df).collect()))
+    c = sorted(map(tuple, quality_model.classifier_scores(
+        df, impl="catalyst").collect()))
+    assert a == c and len(a) == 7  # null-text row excluded in both
 
 
 def test_token_instances_count_twice(spark):

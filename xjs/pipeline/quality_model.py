@@ -54,16 +54,34 @@ def _weights_df(spark: SparkSession, artifact: str):
             int(model["b_micro"]), int(model["B"]))
 
 
+#: per-worker token -> weight-index memo for the Arrow scorer (the
+#: bpe pre-token-LRU precedent: web text repeats words heavily, so the
+#: md5 amortizes to a dict hit across batches on a reused worker)
+_BUCKET_MEMO: dict = {}
+_BUCKET_MEMO_CAP = 2_000_000
+
+
 def classifier_scores(
     df: DataFrame,
     artifact: str = DEFAULT_QC,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, n_tokens, score_micro): integer classifier score per
     document with non-null text.  Blank docs score (0, b_micro) — the
     bias alone.  Token instances count (a word twice contributes its
-    weight twice), matching the trainer's count featurization."""
+    weight twice), matching the trainer's count featurization.
+
+    impl 'arrow' (default, r6): one narrow kernel — tokens split in
+    Arrow C++, md5-bucketed once per DISTINCT token per batch through
+    a per-worker memo (the Catalyst form paid md5+conv per token
+    INSTANCE), weights summed per doc in int64 numpy; ZERO shuffle and
+    bit-identical integer scores (md5 arithmetic is exact, no hashing
+    stance change).  'catalyst' is the zero-Python reference the
+    kernel is test-pinned against."""
+    if impl == "arrow":
+        return _classifier_scores_arrow(df, artifact, text_col, id_col)
     spark = df.sparkSession
     weights, b_micro, n_buckets = _weights_df(spark, artifact)
     base = df.filter(F.col(text_col).isNotNull()) \
@@ -89,6 +107,79 @@ def classifier_scores(
                  .alias("_wsum"))
             .select("doc_id", "n_tokens",
                     (F.lit(b_micro) + F.col("_wsum")).alias("score_micro")))
+
+
+def _classifier_scores_arrow(
+    df: DataFrame, artifact: str, text_col: str, id_col: str
+) -> DataFrame:
+    """The zero-shuffle classifier kernel (see classifier_scores)."""
+    from collections.abc import Iterator
+
+    model = load(artifact)
+    b_micro, n_buckets = int(model["b_micro"]), int(model["B"])
+    w_list = [int(w) for w in model["w_micro"]]
+    id_type = dict(df.dtypes)[id_col]
+
+    def build(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        w = np.array(w_list, dtype=np.int64)
+
+        def bucket_of(tok: str) -> int:
+            b = _BUCKET_MEMO.get(tok)
+            if b is None:
+                if len(_BUCKET_MEMO) >= _BUCKET_MEMO_CAP:
+                    _BUCKET_MEMO.clear()
+                b = int(hashlib.md5(tok.encode("utf-8"))
+                        .hexdigest()[:15], 16) % n_buckets
+                _BUCKET_MEMO[tok] = b
+            return b
+
+        for batch in batches:
+            text = batch.column(1)
+            notnull = pc.is_valid(text)
+            ids = batch.column(0).filter(notnull)
+            n_out = len(ids)
+            if n_out == 0:
+                continue
+            trimmed = pc.filter(
+                pc.utf8_trim(pc.fill_null(text, ""), characters=" "),
+                notnull)
+            nonblank = pc.greater(pc.utf8_length(trimmed), 0)
+            nb_np = nonblank.to_numpy(zero_copy_only=False)
+            n_tokens = np.zeros(n_out, dtype=np.int64)
+            wsum = np.zeros(n_out, dtype=np.int64)
+            toks_texts = pc.filter(trimmed, nonblank)
+            if len(toks_texts):
+                lists = pc.ascii_split_whitespace(toks_texts)
+                counts = pc.list_value_length(lists).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                flat = pc.list_flatten(lists)
+                row_map = np.flatnonzero(nb_np)
+                n_tokens[row_map] = counts
+                enc = pc.dictionary_encode(flat)
+                uniq = enc.dictionary.to_pylist()
+                wu = w[np.fromiter((bucket_of(t) for t in uniq),
+                                   dtype=np.int64, count=len(uniq))]
+                wvals = wu[enc.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)]
+                rows = row_map[np.repeat(
+                    np.arange(len(toks_texts), dtype=np.int64), counts)]
+                np.add.at(wsum, rows, wvals)
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(n_tokens, type=pa.int64()),
+                 pa.array(b_micro + wsum, type=pa.int64())],
+                names=["doc_id", "n_tokens", "score_micro"])
+
+    return df.select(
+        F.col(id_col), F.col(text_col)
+    ).mapInArrow(
+        build, f"doc_id {id_type}, n_tokens long, score_micro long")
 
 
 def classifier_gate(
