@@ -70,11 +70,31 @@ def test_corpus_gate_drops_exactly_the_noise(spark, sf_dir):
 
 
 def test_broadcast_lookup_plan(spark, sf_dir):
+    # portable reference: model table broadcasts, never shuffles corpus
+    plan = (
+        lm_score(lm_corpus(spark, sf_dir), hash_mode="portable")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_native_kernel_plan_is_shuffle_free(spark, sf_dir):
+    """hash_mode='native' (r6) is one narrow Arrow kernel: no
+    Exchange, no join anywhere in the scorer plan."""
     plan = (
         lm_score(lm_corpus(spark, sf_dir))
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan  # model table never shuffles the corpus
+    assert "MapInArrow" in plan
+    for node in ("Exchange", "Join"):
+        assert node not in plan, node
+
+
+def test_native_equals_portable_bigram(spark, sf_dir):
+    from pyspark.sql import functions as F
+    a = lm_score(lm_corpus(spark, sf_dir)).collect()
+    b = lm_score(lm_corpus(spark, sf_dir), hash_mode="portable").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 # --------------------------------------------------------------------------
@@ -157,10 +177,10 @@ def test_trigram_broadcast_plan(spark, sf_dir):
     from xjs.pipeline.lm import lm_score_trigram
 
     plan = (
-        lm_score_trigram(lm_corpus(spark, sf_dir))
+        lm_score_trigram(lm_corpus(spark, sf_dir), hash_mode="portable")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # both model probes broadcast; the corpus never shuffles for them
+    # portable reference: both model probes broadcast
     assert plan.count("BroadcastHashJoin") >= 2
 
 

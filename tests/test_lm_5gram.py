@@ -99,14 +99,24 @@ def test_gate_drops_exactly_the_noise(spark, sf_dir):
 
 
 def test_all_four_tables_broadcast(spark, sf_dir):
-    plan = lm_score_5gram(lm_corpus(spark, sf_dir))._jdf \
+    plan = lm_score_5gram(lm_corpus(spark, sf_dir),
+                          hash_mode="portable")._jdf \
         .queryExecution().executedPlan().toString()
-    # all four model probes broadcast; the corpus never shuffles on a
-    # gram key (the one SMJ is the final doc-keyed rejoin)
+    # portable reference: all four model probes broadcast; the corpus
+    # never shuffles on a gram key
     assert plan.count("BroadcastHashJoin") >= 4
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "_k" not in line, line
+
+
+def test_native_kernel_plan_is_shuffle_free(spark, sf_dir):
+    """hash_mode='native' (r6) is one narrow Arrow kernel."""
+    plan = lm_score_5gram(lm_corpus(spark, sf_dir))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    for node in ("Exchange", "Join"):
+        assert node not in plan, node
 
 
 def test_bucket_hook_uses_the_5gram_scorer(spark, sf_dir):

@@ -49,6 +49,136 @@ def _bigram_df(spark: SparkSession, artifact: str) -> tuple[DataFrame, int]:
     return df, int(model["lp_oov"])
 
 
+# --------------------------------------------------------------------------
+# native scorer kernel (r6)
+# --------------------------------------------------------------------------
+#
+# hash_mode='native' used to probe broadcast tables on xxhash64 longs
+# from an exploded transition stream — one Generate + N broadcast joins
+# + a doc-keyed aggregation over ~46M rows at 1M docs.  The whole
+# scorer is per-document over MODEL-SIZED tables, so it now runs as one
+# narrow Arrow kernel: C++ tokenization (split parity pinned in
+# grams.py), exact token->vocab-id mapping via index_in, per-order gram
+# keys as a wraparound polynomial hash over the id windows (the same
+# 2^-64 non-adversarial collision stance as the xxhash64 probes it
+# replaces), probed with binary search against the sorted model keys,
+# and integer per-doc sums — ZERO shuffle.  'portable' (the declared
+# queries' mode) keeps the string-pair joins and remains the
+# oracle-provable reference; the native==portable equality tests now
+# pin the kernel against it.
+
+_KB = 0x100000001B3  # FNV-1a prime, odd => bijective wraparound mult
+
+
+def _score_kernel(
+    df: DataFrame,
+    tables: dict,
+    penalties: dict,
+    lp_oov: int,
+    text_col: str,
+    id_col: str,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """(id, carry..., n_transitions, lp_sum) — generic stupid-backoff
+    scorer over ``tables`` {order: [(tok..., lp), ...]} with integer
+    ``penalties`` {order: added_micro_nats}; highest order defines the
+    transition width.  One output row per input row, no shuffle."""
+    from collections.abc import Iterator
+
+    orders = sorted(tables, reverse=True)
+    kmax = orders[0]
+    vocab = sorted({t for o in orders for g in tables[o] for t in g[:-1]})
+    vindex = {t: i for i, t in enumerate(vocab)}
+    model_keys = {}
+    model_lps = {}
+    import numpy as np
+
+    for o in orders:
+        keys = np.zeros(len(tables[o]), dtype=np.uint64)
+        lps = np.zeros(len(tables[o]), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for j, g in enumerate(tables[o]):
+                h = np.uint64(0)
+                for t in g[:-1]:
+                    h = h * np.uint64(_KB) + np.uint64(vindex[t])
+                keys[j] = h
+                lps[j] = int(g[-1])
+        order_ = np.argsort(keys)
+        model_keys[o] = keys[order_]
+        model_lps[o] = lps[order_]
+
+    dtypes = dict(df.dtypes)
+    carry = list(carry_cols)
+    out_schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}"]
+        + [f"{c} {dtypes[c]}" for c in carry]
+        + ["n_transitions long", "lp_sum long"])
+
+    def build(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        voc_arr = pa.array(vocab, type=pa.string())
+        n_voc = len(vocab)
+        for batch in batches:
+            text = batch.column(1 + len(carry))
+            nrows = len(text)
+            trimmed = pc.utf8_trim(pc.fill_null(text, ""),
+                                   characters=" ")
+            lists = pc.ascii_split_whitespace(trimmed)
+            counts = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # null text -> no transitions (split(trim(null)) is null);
+            # eff masks them while tok_off keeps flat-buffer alignment
+            eff = np.where(
+                pc.is_valid(text).to_numpy(zero_copy_only=False),
+                counts, 0)
+            flat = pc.list_flatten(lists)
+            ids = pc.fill_null(
+                pc.index_in(flat, value_set=voc_arr), n_voc
+            ).to_numpy(zero_copy_only=False).astype(np.uint64)
+            tok_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            m = np.maximum(eff - (kmax - 1), 0)
+            n_trans = m.copy()
+            lp_sum = np.zeros(nrows, dtype=np.int64)
+            total = int(m.sum())
+            if total:
+                from xjs.pipeline.grams import _ragged_ranges
+
+                local, seg = _ragged_ranges(
+                    np.zeros(nrows, dtype=np.int64), m)
+                g = tok_off[seg] + local
+                lp = np.full(total, lp_oov, dtype=np.int64)
+                undecided = np.ones(total, dtype=bool)
+                with np.errstate(over="ignore"):
+                    for o in orders:
+                        start = g + (kmax - o)
+                        key = np.zeros(total, dtype=np.uint64)
+                        for t in range(o):
+                            key = key * np.uint64(_KB) + ids[start + t]
+                        mk, ml = model_keys[o], model_lps[o]
+                        if not len(mk):
+                            continue
+                        pos = np.searchsorted(mk, key)
+                        pos_c = np.minimum(pos, len(mk) - 1)
+                        hit = undecided & (pos < len(mk)) & (
+                            mk[pos_c] == key)
+                        lp[hit] = ml[pos_c[hit]] + penalties[o]
+                        undecided &= ~hit
+                np.add.at(lp_sum, seg, lp)
+            arrays = [batch.column(0)]
+            arrays += [batch.column(1 + i) for i in range(len(carry))]
+            arrays += [pa.array(n_trans, type=pa.int64()),
+                       pa.array(lp_sum, type=pa.int64())]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[id_col, *carry,
+                               "n_transitions", "lp_sum"])
+
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.col(text_col)
+    ).mapInArrow(build, out_schema)
+
+
 def lm_score(
     df: DataFrame,
     artifact: str = DEFAULT_LM,
@@ -79,6 +209,11 @@ def lm_score(
     corpus — that join was two corpus-sized Exchanges per call (r6
     guide §2.4); the null rows are masked out of both aggregates."""
     spark = df.sparkSession
+    if hash_mode == "native":
+        model = load(artifact)
+        return _score_kernel(
+            df, {2: [(p, w, int(lp)) for p, w, lp in model["bigrams"]]},
+            {2: 0}, int(model["lp_oov"]), text_col, id_col, carry_cols)
     bigrams, lp_oov = _bigram_df(spark, artifact)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
@@ -165,11 +300,18 @@ def lm_score_trigram(
     Scale shape: one narrow triple explode, then TWO broadcast left
     joins (trigram probe, bigram backoff probe — both model-sized) and
     the same single doc-keyed partial-agg sum as the bigram scorer.
-    ``hash_mode='native'`` probes both tables on xxhash64 longs (the
+    ``hash_mode='native'`` runs the zero-shuffle Arrow kernel (the
     lm_score precedent); 'portable' joins exact strings for the
     oracle."""
     spark = df.sparkSession
     model = load(artifact)
+    if hash_mode == "native":
+        return _score_kernel(
+            df,
+            {3: [(a, b, c, int(lp)) for a, b, c, lp in model["trigrams"]],
+             2: [(p, w, int(lp)) for p, w, lp in model["bigrams"]]},
+            {3: 0, 2: int(model["backoff"])},
+            int(model["lp_oov"]), text_col, id_col, carry_cols)
     tri = spark.createDataFrame(
         [(a, b, c, int(lp)) for a, b, c, lp in model["trigrams"]],
         "p2 string, p1 string, tok string, lp3 long",
@@ -288,13 +430,21 @@ def lm_score_5gram(
     Scale shape: one narrow 5-tuple explode, then FOUR broadcast left
     joins (all model-sized), and the same single doc-keyed partial-agg
     sum as the lower-order scorers — at 10^12 docs the shuffle still
-    carries two longs per doc per partition.  'native' probes on
-    xxhash64 longs; 'portable' joins exact strings for the oracle."""
+    carries two longs per doc per partition.  'native' runs the
+    zero-shuffle Arrow kernel; 'portable' joins exact strings for the
+    oracle."""
     spark = df.sparkSession
     model = load(artifact)
     assert model.get("order") == 5, artifact
     backoff = int(model["backoff"])
     lp_oov = int(model["lp_oov"])
+    if hash_mode == "native":
+        return _score_kernel(
+            df,
+            {n: [(*g[:-1], int(g[-1])) for g in model["tables"][n]]
+             for n in (5, 4, 3, 2)},
+            {5: 0, 4: backoff, 3: 2 * backoff, 2: 3 * backoff},
+            lp_oov, text_col, id_col, carry_cols)
 
     tabs = {}
     for n, cols in _GRAM_COLS.items():
