@@ -122,7 +122,10 @@ def bloom_build(df: DataFrame, key_col: str,
         h.alias("h"), g.alias("g"))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        words = np.zeros(n_words, dtype=np.uint64)
+        # bit mask kept as bool and packed once at the end: setting
+        # bools by fancy index is vectorized, where the previous
+        # per-lane np.bitwise_or.at was an unbuffered ufunc loop (r6)
+        mask = np.zeros(n_bits, dtype=bool)
         any_rows = False
         for pdf in batches:
             if len(pdf) == 0:
@@ -130,10 +133,11 @@ def bloom_build(df: DataFrame, key_col: str,
             any_rows = True
             hh = pdf["h"].to_numpy(np.int64).view(np.uint64)
             gg = pdf["g"].to_numpy(np.int64).view(np.uint64)
-            for idx, bit in _positions(hh, gg, k, n_bits):
-                np.bitwise_or.at(words, idx, bit)
+            for pos in _slots(hh, gg, k, n_bits):
+                mask[pos.astype(np.int64)] = True
         if not any_rows:
             return
+        words = np.packbits(mask, bitorder="little").view(np.uint64)
         chunks, blobs = [], []
         for c in range(0, n_words, CHUNK_WORDS):
             piece = words[c:c + CHUNK_WORDS]
@@ -400,23 +404,33 @@ def counting_build(df: DataFrame, key_col: str,
     unsaturated so folds stay exact; saturate at state-write time."""
     assert n_slots & (n_slots - 1) == 0, "n_slots must be a power of two"
     h, g = _lanes(F.col(key_col))
+    # NB a repartition pin after the distinct was tried (r6) and LOST
+    # ~0.7s: with the vectorized bincount below the per-partition work
+    # is cheap, and more partitions mean more n_slots-sized partial
+    # buffers and more chunk rows through the reduce
     hashed = (df.filter(F.col(key_col).isNotNull())
               .select(F.col(key_col)).distinct()
               .select(h.alias("h"), g.alias("g")))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts = np.zeros(n_slots, dtype=np.uint32)
-        any_rows = False
+        # positions accumulate across batches; ONE bincount per task at
+        # the end — bincount is vectorized where np.add.at was an
+        # unbuffered ufunc loop, and running it per batch would cost
+        # O(n_slots) per batch instead of per task (r6, both measured)
+        pos_parts = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            any_rows = True
             hh = pdf["h"].to_numpy(np.int64).view(np.uint64)
             gg = pdf["g"].to_numpy(np.int64).view(np.uint64)
-            for pos in _slots(hh, gg, k, n_slots):
-                np.add.at(counts, pos.astype(np.int64), 1)
-        if not any_rows:
+            pos_parts.extend(
+                pos.astype(np.int64)
+                for pos in _slots(hh, gg, k, n_slots))
+        if not pos_parts:
             return
+        counts = np.bincount(
+            np.concatenate(pos_parts), minlength=n_slots
+        ).astype(np.uint32)
         chunks, blobs = [], []
         for c in range(0, n_slots, CHUNK_WORDS):
             piece = counts[c:c + CHUNK_WORDS]
