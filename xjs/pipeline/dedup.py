@@ -374,7 +374,15 @@ def near_duplicate_pipeline(
     (shingle + signature) is compute-heavy per row, and serializing it
     on one core measured 68s vs 9s at bench scale.  Pinning the
     partition count keeps the CPU-bound stage spread across the
-    cluster regardless of AQE's byte heuristics."""
+    cluster regardless of AQE's byte heuristics.
+
+    Measured non-change (r6): localCheckpoint-ing the survivor set to
+    serve the three downstream consumers (band branch + both token-set
+    join sides) was tried and LOST ~0.3s at bench scale (interleaved
+    min-of-4/5: 3.55/4.00s checkpointed vs 3.30/3.67s recomputed) —
+    AQE's runtime exchange reuse already serves the collapse to every
+    branch, so the checkpoint only added a materialization barrier.
+    The recompute form stays."""
     spark = df.sparkSession
     survivors = (
         df.groupBy("text")

@@ -128,6 +128,21 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _write_all(parts: list[tuple[DataFrame, str]]) -> None:
+    """Write independent state tables CONCURRENTLY (guide §2.6): the
+    three state writes share no lineage beyond already-materialized
+    checkpoints, and each is a short many-small-task job whose tail
+    leaves most cores idle — submitting them from a small thread pool
+    lets the next write's tasks back-fill the current one's stragglers.
+    Results are identical to the sequential form (the writes touch
+    disjoint paths)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+        for f in [pool.submit(_write, df, p) for df, p in parts]:
+            f.result()
+
+
 def _complete(state_dir: str) -> bool:
     return all(
         os.path.exists(os.path.join(state_dir, t, "_SUCCESS"))
@@ -179,7 +194,10 @@ def incremental_update(
     )
     unseen = slice_groups.filter(F.col("rep_id").isNull()).select(
         "dig", F.col("slice_rep").alias("rep_id"), "text"
-    )
+    ).localCheckpoint(eager=False)  # r6: consumed by the signature
+    # stage AND both the digests and members writes — the lazy cut
+    # materializes it once (during the eager signature checkpoint)
+    # instead of re-running the slice groupBy + history join 3x
 
     # 2. signatures for genuinely new texts only (the only text touch)
     new_sigs = unseen.select(
@@ -216,16 +234,18 @@ def incremental_update(
         .select("rep_id", "sim", F.coalesce("new_root", F.col("root")).alias("root"))
     )
 
-    # 5. persist updated state
+    # 5. persist updated state — three independent writes, overlapped
     out_digests = digests.unionAll(unseen.select("dig", "rep_id"))
     out_members = members.unionAll(
         new_docs.select("doc_id", "dig")
         .join(out_digests, "dig")
         .select("doc_id", "rep_id")
     )
-    _write(out_digests, os.path.join(state_out, "digests"))
-    _write(old_sig_rows.unionAll(new_sig_rows), os.path.join(state_out, "sigs"))
-    _write(out_members, os.path.join(state_out, "members"))
+    _write_all([
+        (out_digests, os.path.join(state_out, "digests")),
+        (old_sig_rows.unionAll(new_sig_rows), os.path.join(state_out, "sigs")),
+        (out_members, os.path.join(state_out, "members")),
+    ])
 
 
 def survivors(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -445,7 +465,10 @@ def minhash_incremental_update(
     )
     unseen = slice_groups.filter(F.col("rep_id").isNull()).select(
         "dig", F.col("slice_rep").alias("rep_id"), "text"
-    )
+    ).localCheckpoint(eager=False)  # r6: consumed by the signature
+    # stage AND both the digests and members writes — the lazy cut
+    # materializes it once (during the eager signature checkpoint)
+    # instead of re-running the slice groupBy + history join 3x
 
     # 2. signatures for genuinely new texts only (the only text touch)
     new_sigs = unseen.select(
@@ -478,16 +501,18 @@ def minhash_incremental_update(
         .select("rep_id", "sig", F.coalesce("new_root", F.col("root")).alias("root"))
     )
 
-    # 5. persist updated state
+    # 5. persist updated state — three independent writes, overlapped
     out_digests = digests.unionAll(unseen.select("dig", "rep_id"))
     out_members = members.unionAll(
         new_docs.select("doc_id", "dig")
         .join(out_digests, "dig")
         .select("doc_id", "rep_id")
     )
-    _write(out_digests, os.path.join(state_out, "digests"))
-    _write(old_sig_rows.unionAll(new_sig_rows), os.path.join(state_out, "sigs"))
-    _write(out_members, os.path.join(state_out, "members"))
+    _write_all([
+        (out_digests, os.path.join(state_out, "digests")),
+        (old_sig_rows.unionAll(new_sig_rows), os.path.join(state_out, "sigs")),
+        (out_members, os.path.join(state_out, "members")),
+    ])
 
 
 def minhash_survivors(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -119,7 +119,16 @@ def pagerank_int(
     window count over the same partitioning — replacing the previous
     distinct + groupBy(src) + join + repartition chain (3 edge-table
     shuffles and an SMJ).  nodes drops its redundant repartition (the
-    distinct aggregation already leaves the table node-partitioned)."""
+    distinct aggregation already leaves the table node-partitioned).
+
+    ``persist()`` rather than ``localCheckpoint`` (r6 second pass): a
+    checkpointed table scans back as an ExistingRDD with UNKNOWN
+    partitioning, so every iteration re-shuffled both e_deg (on src)
+    and nodes (on node) — 2 edge/node-table Exchanges per iteration in
+    the plan audit.  The cached plan keeps its hashpartitioning +
+    sort order, the per-iteration joins see their requirements already
+    satisfied, and only the score/contrib sides move (guide §2.4:
+    establish the partitioning once and reuse it)."""
     from pyspark.sql import Window
 
     e_deg = (edges.filter(F.col("src") != F.col("dst"))
@@ -128,11 +137,11 @@ def pagerank_int(
              .distinct()  # subset partitioning: no second exchange
              .withColumn(
                  "outd", F.count(F.lit(1)).over(Window.partitionBy("src")))
-             .localCheckpoint(eager=False))
+             .persist())
     nodes = (e_deg.select(F.col("src").alias("node"))
              .unionByName(e_deg.select(F.col("dst").alias("node")))
              .distinct()
-             .localCheckpoint(eager=False))
+             .persist())
     base = scale * (100 - damping_pct) // 100
     scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
     for _ in range(iterations):
