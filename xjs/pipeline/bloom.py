@@ -48,6 +48,11 @@ from pyspark.sql import functions as F
 
 BLOOM_SALT = 0x5F3D  # second xxhash64 lane
 CHUNK_WORDS = 8192   # 64 KiB per emitted bitmap chunk row
+# counting-bloom chunk width in SLOTS (uint16 local index ceiling).
+# 8192-slot chunks made the sum-reduce a 1024-group applyInPandas at
+# 2^23 slots — per-group pandas overhead dominated the stage; 65536
+# keeps the sparse index in uint16 while cutting groups 8x (r6).
+CHUNK_SLOTS = 65536
 DEFAULT_N_BITS = 1 << 20
 DEFAULT_K = 5
 
@@ -220,7 +225,15 @@ def novel_keys(new_df: DataFrame, history_df: DataFrame, key_col: str,
     extra set bits only cost fpp, never correctness."""
     if bloom is None:
         bloom = bloom_build(history_df, key_col, n_bits=n_bits, k=k)
-    probed = bloom_probe(new_df, key_col, bloom, n_bits=n_bits, k=k)
+    # lazy lineage cut (r6): the definite and candidate branches below
+    # both consume the probe output, and with no exchange boundary
+    # between them Catalyst duplicates the whole narrow stage — the
+    # corpus scan AND the Python probe kernel ran twice per query.
+    # The checkpoint materializes the probed slice once (new-slice
+    # sized) and serves both branches.
+    probed = bloom_probe(
+        new_df, key_col, bloom, n_bits=n_bits, k=k
+    ).localCheckpoint(eager=False)
     definite = probed.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
     candidates = probed.filter(F.col("bloom_maybe")).drop("bloom_maybe")
     verified = candidates.join(
@@ -413,10 +426,16 @@ def counting_build(df: DataFrame, key_col: str,
               .select(h.alias("h"), g.alias("g")))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # positions accumulate across batches; ONE bincount per task at
-        # the end — bincount is vectorized where np.add.at was an
-        # unbuffered ufunc loop, and running it per batch would cost
-        # O(n_slots) per batch instead of per task (r6, both measured)
+        # positions accumulate across batches, folded ONCE per task.
+        # Sparse tasks (the normal case: ~rows*k touches spread over the
+        # whole slot space) take np.unique — O(P log P) in the task's
+        # touch count P, independent of n_slots, and the sorted unique
+        # positions slice straight into sparse chunk blobs.  Dense
+        # tasks (P approaching n_slots) fall back to one bincount.  The
+        # previous always-bincount form paid O(n_slots) time AND memory
+        # per task — 64 MB of zeroed counters at 2^23 slots, and
+        # unworkable at registry-scale filters (2^33 slots = 64 GB per
+        # task); the sparse path is the 100 TB shape (r6).
         pos_parts = []
         for pdf in batches:
             if len(pdf) == 0:
@@ -428,21 +447,35 @@ def counting_build(df: DataFrame, key_col: str,
                 for pos in _slots(hh, gg, k, n_slots))
         if not pos_parts:
             return
-        counts = np.bincount(
-            np.concatenate(pos_parts), minlength=n_slots
-        ).astype(np.uint32)
+        allpos = np.concatenate(pos_parts)
+        if len(allpos) < n_slots // 8:
+            uniq, cnts = np.unique(allpos, return_counts=True)
+            cnts = cnts.astype(np.uint32)
+            bounds = np.searchsorted(
+                uniq, np.arange(0, n_slots + CHUNK_SLOTS, CHUNK_SLOTS))
+            chunks, blobs = [], []
+            for c in range(len(bounds) - 1):
+                lo, hi = bounds[c], bounds[c + 1]
+                if lo == hi:
+                    continue
+                idx = (uniq[lo:hi] - c * CHUNK_SLOTS).astype(np.uint16)
+                chunks.append(c)
+                blobs.append(_SPARSE + idx.tobytes() + cnts[lo:hi].tobytes())
+            yield pd.DataFrame({"chunk": chunks, "words": blobs})
+            return
+        counts = np.bincount(allpos, minlength=n_slots).astype(np.uint32)
         chunks, blobs = [], []
-        for c in range(0, n_slots, CHUNK_WORDS):
-            piece = counts[c:c + CHUNK_WORDS]
+        for c in range(0, n_slots, CHUNK_SLOTS):
+            piece = counts[c:c + CHUNK_SLOTS]
             live = np.flatnonzero(piece)
             if len(live):
-                chunks.append(c // CHUNK_WORDS)
+                chunks.append(c // CHUNK_SLOTS)
                 blobs.append(_encode_chunk(piece, live, np.uint16, 4))
         yield pd.DataFrame({"chunk": chunks, "words": blobs})
 
     def sum_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
         c = int(pdf["chunk"].iloc[0])
-        m = min(CHUNK_WORDS, n_slots - c * CHUNK_WORDS)
+        m = min(CHUNK_SLOTS, n_slots - c * CHUNK_SLOTS)
         stacked = np.stack(
             [_decode_chunk(b, m, np.uint32, np.uint16)
              for b in pdf["words"]])
@@ -458,7 +491,7 @@ def counting_build(df: DataFrame, key_col: str,
     )
     counts = np.zeros(n_slots, dtype=np.uint32)
     for row in merged:
-        c = row["chunk"] * CHUNK_WORDS
+        c = row["chunk"] * CHUNK_SLOTS
         piece = np.frombuffer(row["words"], dtype=np.uint32)
         counts[c:c + len(piece)] = piece
     return counts
