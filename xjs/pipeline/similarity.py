@@ -581,11 +581,26 @@ def embedding_near_duplicates(
             .agg(F.collect_list("doc_id").alias("docs"))
             .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
         )
-        pairs = bucket_pairs(grouped, "doc_id")
+        # The pair table is capped-bucket bounded (≤ max_bucket²/2 per
+        # kept bucket — 124k rows of two longs at the 1M-vector bench),
+        # so it BROADCASTS into the vector attach instead of dragging
+        # the full embedding table through two id-keyed SortMergeJoin
+        # exchanges (the r6 plan audit showed the 1M×64-d table
+        # shuffled twice to meet a 2 MB pair set; guide §8: decide on
+        # small rows, move heavy rows once).  The checkpoint serves the
+        # pair set to its three consumers (two attaches + the semi
+        # prefilter) from one computation; the b-side vectors are
+        # pre-filtered with a broadcast semi-join so the only remaining
+        # shuffle carries candidate vectors, not the corpus.
+        pairs = bucket_pairs(grouped, "doc_id").localCheckpoint(eager=False)
         ea = emb.select(F.col("vec_id").alias("doc_id_a"), F.col("emb").alias("emb_a"))
         eb = emb.select(F.col("vec_id").alias("doc_id_b"), F.col("emb").alias("emb_b"))
+        ebf = eb.join(
+            F.broadcast(pairs.select("doc_id_b").distinct()), "doc_id_b",
+            "left_semi",
+        )
         return (
-            pairs.join(ea, "doc_id_a").join(eb, "doc_id_b")
+            ea.join(F.broadcast(pairs), "doc_id_a").join(ebf, "doc_id_b")
             .select(
                 F.col("doc_id_a").alias("vec_a"),
                 F.col("doc_id_b").alias("vec_b"),
