@@ -54,11 +54,16 @@ def main() -> None:
         for impl in impls:
             samples[impl].append(run(impl))
 
-    # equivalence spot-check rides along (full pin is in tests)
-    ref = gopher_features(pages.limit(2000), impl="hof")
+    # equivalence spot-check rides along (full pin is in tests).  ONE
+    # materialized deterministic sample for every impl — an unordered
+    # limit() is not guaranteed to pick the same rows across separate
+    # evaluations (ADVICE r5)
+    sample = pages.orderBy("doc_id").limit(2000).cache()
+    sample.count()
+    ref = gopher_features(sample, impl="hof")
     same = all(
-        gopher_features(pages.limit(2000), impl=i).exceptAll(ref).isEmpty()
-        and ref.exceptAll(gopher_features(pages.limit(2000), impl=i)).isEmpty()
+        gopher_features(sample, impl=i).exceptAll(ref).isEmpty()
+        and ref.exceptAll(gopher_features(sample, impl=i)).isEmpty()
         for i in ("arrow", "native")
     )
 
@@ -76,7 +81,7 @@ def main() -> None:
     path = os.path.join(REPO, "BENCH", "ab_gopher_r5.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps(out["min"]), "speedup", out["speedup_native"],
+    print(json.dumps(out["min"]), "speedup", out["speedup_vs_hof"],
           "identical", same)
 
 

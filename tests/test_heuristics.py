@@ -242,6 +242,12 @@ class TestGopherBuilders:
         (12, "## #... #"),
         (13, None),                            # null text -> null features
         (14, "a\xa0b the of"),                 # NBSP is NOT whitespace
+        # CRLF / lone-CR endings: '\r' stays inside the line for the
+        # '\n'-splitting builders, so 'crlf...\r' is NOT an ellipsis
+        # line and '\r- bullet' is NOT a bullet line; Java (?m)^/$
+        # anchors fire around \r too, which the native impl must not
+        # inherit (ADVICE r5)
+        (15, "crlf...\r\nnext...\nmid\r- bullet\r\nend…"),
     ]
 
     def test_builders_row_identical_edges(self, spark):

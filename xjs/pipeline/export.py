@@ -338,12 +338,22 @@ def write_shards_wet(
     def write(batches):
         import pandas as pd
 
-        state = {"sid": None, "fh": None, "n": 0}
+        # task-commit protocol (ADVICE r5): write to an attempt-unique
+        # temp name and publish with an atomic rename at shard close,
+        # so a speculative or retried attempt can never interleave
+        # bytes into a half-written gzip member stream — whichever
+        # attempt renames last leaves a complete file.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        state = {"sid": None, "fh": None, "n": 0, "tmp": None, "dst": None}
         counts: list[tuple[int, int]] = []
 
         def close():
             if state["fh"] is not None:
                 state["fh"].close()
+                os.replace(state["tmp"], state["dst"])
                 counts.append((state["sid"], state["n"]))
                 state["fh"] = None
 
@@ -352,10 +362,10 @@ def write_shards_wet(
                 sid = int(r.shard_id)
                 if sid != state["sid"] or state["fh"] is None:
                     close()
-                    state.update(sid=sid, n=0)
-                    state["fh"] = open(
-                        os.path.join(path, f"shard-{sid:05d}.warc.gz"), "wb"
-                    )
+                    dst = os.path.join(path, f"shard-{sid:05d}.warc.gz")
+                    tmp = f"{dst}.attempt-{attempt}.tmp"
+                    state.update(sid=sid, n=0, tmp=tmp, dst=dst)
+                    state["fh"] = open(tmp, "wb")
                 rid = getattr(r, id_col)
                 url = getattr(r, url_col)
                 txt = getattr(r, text_col)
@@ -401,6 +411,10 @@ def write_shards_wet(
     manifest = {i: 0 for i in range(n_shards)}
     for r in rows:  # bounded: <= n_shards rows
         manifest[r.shard_id] = manifest.get(r.shard_id, 0) + r.n_docs
+    import glob as _glob
+
+    for leftover in _glob.glob(os.path.join(path, "shard-*.warc.gz.attempt-*.tmp")):
+        os.unlink(leftover)  # temp files of killed/lost attempts
     with open(os.path.join(path, "_SUCCESS"), "w") as fh:
         fh.write("")
     return manifest

@@ -288,8 +288,12 @@ def _gopher_catalyst_feats(df, id_col, text_col, impl):
     if impl == "native":
         n_words = F.regexp_count(t, F.lit(r"\S+"))
         n_lines = F.regexp_count(t, F.lit("\n")) + 1
-        bullet = F.regexp_count(t, F.lit(r"(?m)^ *(?:- |\* |• )"))
-        ellipsis = F.regexp_count(t, F.lit(r"(?m)(?:\.\.\.|…)$"))
+        # anchors on LITERAL \n / string ends, not (?m)^ / (?m)$: Java
+        # multiline anchors also fire around \r and \r\n terminators,
+        # so CRLF text diverged from the hof/arrow builders (which
+        # split on '\n' and keep the \r inside the line) — ADVICE r5
+        bullet = F.regexp_count(t, F.lit(r"(?:\A|\n) *(?:- |\* |• )"))
+        ellipsis = F.regexp_count(t, F.lit(r"(?:\.\.\.|…)(?=\n|\z)"))
         alpha = F.regexp_count(t, F.lit(r"\S*[A-Za-z]\S*"))
         stop_hits = F.lit(0)
         for w in REQUIRED_WORDS:
