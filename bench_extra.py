@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-plan", action="store_true")
     ap.add_argument("--no-time", action="store_true")
+    ap.add_argument(
+        "--noop", action="store_true",
+        help="time with the noop sink (guide §1.4: every column of every "
+        "row computed and discarded) instead of bench.py's count() — for "
+        "isolating computation cost from the count path",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,7 +71,10 @@ def main() -> None:
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
             t0 = time.perf_counter()
-            make().count()
+            if args.noop:
+                make().write.format("noop").mode("overwrite").save()
+            else:
+                make().count()
             samples.append(round(time.perf_counter() - t0, 3))
         out[name] = {"min": min(samples), "samples": samples}
         print(json.dumps({name: out[name]}), flush=True)
