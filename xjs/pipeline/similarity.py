@@ -224,7 +224,13 @@ def brute_force_topk(
 
 def brute_force_topk_df(emb: DataFrame, builder: str = BUILDER) -> DataFrame:
     if builder == "arrow":
-        # map-side-combine form (r5): the scalable brute-force shape
+        # map-side-combine form (r5): the scalable brute-force shape.
+        # NB it is ~1.4x SLOWER locally than the crossJoin+HOF form at
+        # 1M x 64-d (18.6s vs 13.5s, BENCH/ab_embedding_r5.json) and
+        # stays the default anyway: it ships each corpus vector across
+        # the Arrow boundary once instead of q times and avoids the
+        # q*N-row shuffle — the tradeoff that matters at 100 TB.  Do
+        # not "fix" this backwards from a local profile.
         return _brute_force_topk_map(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
