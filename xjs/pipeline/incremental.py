@@ -128,19 +128,27 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def _write_all(parts: list[tuple[DataFrame, str]]) -> None:
-    """Write independent state tables CONCURRENTLY (guide §2.6): the
-    three state writes share no lineage beyond already-materialized
-    checkpoints, and each is a short many-small-task job whose tail
-    leaves most cores idle — submitting them from a small thread pool
-    lets the next write's tasks back-fill the current one's stragglers.
-    Results are identical to the sequential form (the writes touch
-    disjoint paths)."""
+def _start_writes(parts: list[tuple[DataFrame, str]]):
+    """Launch independent state writes as background driver threads
+    (guide §2.6): the digests/members writes depend only on the
+    already-materialized slice checkpoints — not on the component
+    computation — so their jobs overlap the candidate-pair/CC jobs
+    and each other, back-filling idle cores.  Returns (executor,
+    futures); callers MUST join via ``_join_writes`` so write errors
+    surface.  Results are identical to the sequential form (the
+    writes touch disjoint paths)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(parts)) as pool:
-        for f in [pool.submit(_write, df, p) for df, p in parts]:
+    pool = ThreadPoolExecutor(max_workers=len(parts))
+    return pool, [pool.submit(_write, df, path) for df, path in parts]
+
+
+def _join_writes(pool, futures) -> None:
+    try:
+        for f in futures:
             f.result()
+    finally:
+        pool.shutdown(wait=True)
 
 
 def _complete(state_dir: str) -> bool:
@@ -204,6 +212,20 @@ def incremental_update(
         "rep_id", simhash(F.col("text")).alias("sim")
     ).localCheckpoint(eager=True)  # cut lineage: reused 3x below
 
+    # 5a. digests/members writes depend only on the digested slice
+    #     split — start them now so their jobs overlap the pair/CC
+    #     computation below (guide §2.6)
+    out_digests = digests.unionAll(unseen.select("dig", "rep_id"))
+    out_members = members.unionAll(
+        new_docs.select("doc_id", "dig")
+        .join(out_digests, "dig")
+        .select("doc_id", "rep_id")
+    )
+    pool, futs = _start_writes([
+        (out_digests, os.path.join(state_out, "digests")),
+        (out_members, os.path.join(state_out, "members")),
+    ])
+
     # 3. candidate pairs: new-new + new-history (history chunks derive
     #    from stored sims — no text rescan)
     nc = _chunks(new_sigs.withColumnRenamed("rep_id", "id"), "id")
@@ -234,18 +256,12 @@ def incremental_update(
         .select("rep_id", "sim", F.coalesce("new_root", F.col("root")).alias("root"))
     )
 
-    # 5. persist updated state — three independent writes, overlapped
-    out_digests = digests.unionAll(unseen.select("dig", "rep_id"))
-    out_members = members.unionAll(
-        new_docs.select("doc_id", "dig")
-        .join(out_digests, "dig")
-        .select("doc_id", "rep_id")
-    )
-    _write_all([
-        (out_digests, os.path.join(state_out, "digests")),
-        (old_sig_rows.unionAll(new_sig_rows), os.path.join(state_out, "sigs")),
-        (out_members, os.path.join(state_out, "members")),
-    ])
+    # 5b. the sigs write needs cc; the other two are already running
+    try:
+        _write(old_sig_rows.unionAll(new_sig_rows),
+               os.path.join(state_out, "sigs"))
+    finally:
+        _join_writes(pool, futs)
 
 
 def survivors(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -475,6 +491,20 @@ def minhash_incremental_update(
         "rep_id", minhash_signature(F.col("text"), hash_mode).alias("sig")
     ).localCheckpoint(eager=True)  # cut lineage: reused 4x below
 
+    # 5a. digests/members writes depend only on the digested slice
+    #     split — start them now so their jobs overlap the band/CC
+    #     computation below (guide §2.6)
+    out_digests = digests.unionAll(unseen.select("dig", "rep_id"))
+    out_members = members.unionAll(
+        new_docs.select("doc_id", "dig")
+        .join(out_digests, "dig")
+        .select("doc_id", "rep_id")
+    )
+    pool, futs = _start_writes([
+        (out_digests, os.path.join(state_out, "digests")),
+        (out_members, os.path.join(state_out, "members")),
+    ])
+
     # 3. candidates: new-new + new-history, verified by agreement
     ns = new_sigs.withColumnRenamed("rep_id", "id")
     nb = _mh_bands(ns, "id")
@@ -501,18 +531,12 @@ def minhash_incremental_update(
         .select("rep_id", "sig", F.coalesce("new_root", F.col("root")).alias("root"))
     )
 
-    # 5. persist updated state — three independent writes, overlapped
-    out_digests = digests.unionAll(unseen.select("dig", "rep_id"))
-    out_members = members.unionAll(
-        new_docs.select("doc_id", "dig")
-        .join(out_digests, "dig")
-        .select("doc_id", "rep_id")
-    )
-    _write_all([
-        (out_digests, os.path.join(state_out, "digests")),
-        (old_sig_rows.unionAll(new_sig_rows), os.path.join(state_out, "sigs")),
-        (out_members, os.path.join(state_out, "members")),
-    ])
+    # 5b. the sigs write needs cc; the other two are already running
+    try:
+        _write(old_sig_rows.unionAll(new_sig_rows),
+               os.path.join(state_out, "sigs"))
+    finally:
+        _join_writes(pool, futs)
 
 
 def minhash_survivors(spark: SparkSession, state_dir: str) -> DataFrame:
