@@ -162,3 +162,29 @@ def test_retraction_query_matches_exact_semantics(spark, sf_dir):
     assert got == want
     # retracted-and-recrawled urls really are novel again
     assert any(d % 10 == 0 for d, _ in got)
+
+
+def test_partials_sparse_and_dense_paths_agree_with_reference(spark, keys):
+    """r6: build partials pick np.unique sparse folding for sparse
+    tasks and fall back to one bincount for dense ones (task touch
+    count vs n_slots/8).  Pin BOTH branches against a single-process
+    reference bincount over the same JVM-computed hash lanes — the
+    chunk encoding, widened CHUNK_SLOTS grouping, and driver assembly
+    must reproduce it exactly at any slot count."""
+    from xjs.pipeline.bloom import _lanes, _slots
+
+    adds, _, _ = keys
+    h, g = _lanes(F.col("key"))
+    rows = (adds.select("key").distinct()
+            .select(h.alias("h"), g.alias("g")).collect())
+    hh = np.array([r.h for r in rows], dtype=np.int64).view(np.uint64)
+    gg = np.array([r.g for r in rows], dtype=np.int64).view(np.uint64)
+    # n_slots=256 forces every task dense (touches >= n_slots/8);
+    # n_slots=1<<20 forces every task sparse (touches << slots/8)
+    for n_slots in (256, 1 << 20):
+        expect = np.zeros(n_slots, dtype=np.uint32)
+        for pos in _slots(hh, gg, K, n_slots):
+            expect += np.bincount(pos.astype(np.int64), minlength=n_slots
+                                  ).astype(np.uint32)
+        got = counting_build(adds, "key", n_slots=n_slots, k=K)
+        assert np.array_equal(got, expect), n_slots
